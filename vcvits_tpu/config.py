@@ -1,0 +1,150 @@
+"""Typed configuration system.
+
+Capability parity with the reference's JSON -> HParams attribute dict
+(/root/reference/vits/hparams.py:3-33 and configs/*.json), rebuilt as frozen
+dataclasses so configs are hashable (usable as jit static args) and typo-safe.
+Unknown JSON keys are rejected loudly instead of silently absorbed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+def _freeze(value: Any) -> Any:
+    """Recursively convert lists to tuples so configs hash."""
+    if isinstance(value, list):
+        return tuple(_freeze(v) for v in value)
+    return value
+
+
+def _from_dict(cls, data: Dict[str, Any]):
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(data) - names
+    if unknown:
+        raise ValueError(f"Unknown {cls.__name__} keys: {sorted(unknown)}")
+    return cls(**{k: _freeze(v) for k, v in data.items()})
+
+
+@dataclass(frozen=True)
+class TrainerConfig:
+    """Mirrors the `trainer` JSON block (configs/48k_base.json:2-8)."""
+
+    max_epochs: int = 20000
+    limit_val_batches: int = 1
+    accumulate_grad_batches: int = 1
+    default_root_dir: str = "./logs"
+    val_check_interval: int = 1000
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Mirrors the `train` JSON block (configs/48k_base.json:9-26)."""
+
+    log_interval: int = 200
+    eval_interval: int = 1000
+    seed: int = 1234
+    max_epochs: int = 20000
+    learning_rate: float = 2e-4
+    betas: Tuple[float, float] = (0.8, 0.99)
+    eps: float = 1e-9
+    batch_size: int = 16
+    fp16_run: bool = True  # interpreted as "use bf16 compute" on TPU
+    lr_decay: float = 0.999875
+    segment_size: int = 16384
+    init_lr_ratio: float = 1.0
+    warmup_epochs: int = 0
+    c_mel: float = 45.0
+    c_kl: float = 1.0
+    # TPU-specific additions (not present in reference):
+    checkpoint_interval: int = 2000  # reference: ModelCheckpoint every_n_train_steps=2000 (train.py:88)
+    steps_per_epoch: int = 1000  # granularity of per-epoch ExponentialLR when epochs are implicit
+    grad_clip: Optional[float] = None  # reference measures but never clips (commons.py:145-160)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Mirrors the `data` JSON block (configs/48k_base.json:27-44)."""
+
+    training_files: str = "filelists/train.txt"
+    validation_files: str = "filelists/valid.txt"
+    source_sampling_rate: int = 16000
+    target_sampling_rate: int = 48000
+    filter_length: int = 2048
+    hop_length: int = 512
+    win_length: int = 2048
+    n_mel_channels: int = 128
+    mel_fmin: float = 0.0
+    mel_fmax: Optional[float] = None
+    n_speakers: int = 512
+    hubert_ckpt: str = "checkpoints/hubert_base"
+    hubert_channels: int = 768
+    hubert_downsample: int = 320
+    num_pitch: int = 512
+    max_wav_value: float = 32768.0
+    # TPU-specific: static-shape bucketing for XLA (reference pads dynamically,
+    # collate.py:133-191; XLA needs a fixed set of shapes).
+    max_source_seconds: float = 10.0
+    length_buckets: Tuple[float, ...] = (2.0, 4.0, 6.0, 8.0, 10.0)
+    cache_dir: str = "cache"
+
+    @property
+    def spec_channels(self) -> int:
+        return self.filter_length // 2 + 1
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Mirrors the `model` JSON block (configs/48k_base.json:45-68)."""
+
+    hubert_ckpt: str = "checkpoints/hubert_base"
+    num_pitch: int = 512
+    inter_channels: int = 128
+    hidden_channels: int = 128
+    hubert_channels: int = 768
+    filter_channels: int = 768
+    n_heads: int = 4
+    n_layers: int = 3
+    kernel_size: int = 3
+    p_dropout: float = 0.1
+    resblock: str = "1"
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    upsample_rates: Tuple[int, ...] = (8, 8, 4, 2)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    n_layers_q: int = 3
+    use_spectral_norm: bool = False
+    gin_channels: int = 256
+    multi_period_discriminator_periods: Tuple[int, ...] = (
+        2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37,
+    )
+
+
+@dataclass(frozen=True)
+class Config:
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+
+    @staticmethod
+    def from_dict(data: Dict[str, Any]) -> "Config":
+        return Config(
+            trainer=_from_dict(TrainerConfig, data.get("trainer", {})),
+            train=_from_dict(TrainConfig, data.get("train", {})),
+            data=_from_dict(DataConfig, data.get("data", {})),
+            model=_from_dict(ModelConfig, data.get("model", {})),
+        )
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def load_config(path: str) -> Config:
+    """Load a JSON config file (same schema as the reference configs/)."""
+    with open(path, "r") as f:
+        return Config.from_dict(json.load(f))

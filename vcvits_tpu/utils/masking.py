@@ -1,0 +1,74 @@
+"""Mask and segment-slicing utilities.
+
+Capability parity with /root/reference/vits/commons.py:48-142 (sequence_mask,
+slice_segments, rand_slice_segments, kl_divergence), redesigned for XLA:
+segment slicing is a per-row `lax.dynamic_slice` under vmap with a *static*
+segment size (the reference loops over the batch in Python), and randomness
+is an explicit PRNG key instead of global torch RNG state.
+
+Layout convention: activations are [B, T, C] (time on sublanes, channels on
+lanes); masks are [B, T, 1] floats.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sequence_mask(lengths: jax.Array, max_length: int) -> jax.Array:
+    """[B] int lengths -> [B, T, 1] float32 mask (1.0 inside, 0.0 padding).
+
+    Reference: commons.py:120-124 (which returns [B, T] bool; callers
+    unsqueeze to [B, 1, T] channel-first — we bake in the [B, T, 1] layout).
+    """
+    pos = jnp.arange(max_length, dtype=jnp.int32)
+    mask = pos[None, :] < lengths[:, None].astype(jnp.int32)
+    return mask.astype(jnp.float32)[:, :, None]
+
+
+def slice_segments(x: jax.Array, ids_str: jax.Array, segment_size: int) -> jax.Array:
+    """Slice a fixed-size time window per batch row.
+
+    x: [B, T, C]; ids_str: [B] int start indices; returns [B, segment_size, C].
+    Reference: commons.py:48-55 (Python loop over batch); here a vmapped
+    dynamic_slice so it stays inside one XLA program.
+    """
+
+    def _one(row: jax.Array, start: jax.Array) -> jax.Array:
+        start = jnp.clip(start, 0, row.shape[0] - segment_size).astype(jnp.int32)
+        return jax.lax.dynamic_slice_in_dim(row, start, segment_size, axis=0)
+
+    return jax.vmap(_one)(x, ids_str)
+
+
+def rand_slice_segments(
+    x: jax.Array,
+    x_lengths: Optional[jax.Array],
+    segment_size: int,
+    rng: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Randomly slice a segment per row, uniform over valid starts.
+
+    Matches the semantics of commons.py:58-64: start ~ floor(U[0,1) *
+    (len - segment_size + 1)). Rows shorter than segment_size clamp to 0.
+    Returns (segments [B, segment_size, C], ids_str [B]).
+    """
+    b, t, _ = x.shape
+    if x_lengths is None:
+        x_lengths = jnp.full((b,), t, dtype=jnp.int32)
+    ids_str_max = jnp.maximum(x_lengths.astype(jnp.int32) - segment_size + 1, 1)
+    u = jax.random.uniform(rng, (b,))
+    ids_str = jnp.floor(u * ids_str_max.astype(u.dtype)).astype(jnp.int32)
+    return slice_segments(x, ids_str, segment_size), ids_str
+
+
+def kl_divergence(
+    m_p: jax.Array, logs_p: jax.Array, m_q: jax.Array, logs_q: jax.Array
+) -> jax.Array:
+    """Pointwise KL(P||Q) between diagonal Gaussians (commons.py:30-34)."""
+    kl = (logs_q - logs_p) - 0.5
+    kl += 0.5 * (jnp.exp(2.0 * logs_p) + (m_p - m_q) ** 2) * jnp.exp(-2.0 * logs_q)
+    return kl
