@@ -1,0 +1,220 @@
+"""Primitive neural layers, [B, T, C] layout.
+
+Capability parity with /root/reference/vits/model/modules.py:19-64 (LayerNorm,
+conv primitives) and the weight_norm parametrization used throughout the
+reference (modules.py:126-144, discriminator.py:17-25), rebuilt for TPU:
+
+* Channels live on the last axis (lanes); time on the sublane axis. All convs
+  are `lax.conv_general_dilated` in NHC layout, which XLA maps onto the MXU.
+* Weight norm is an explicit (v, g) parametrization computed at call time —
+  cheap relative to the conv itself, exact training dynamics of
+  torch.nn.utils.weight_norm (norm over all axes except output channels).
+* `ConvTranspose1d` reproduces torch's ConvTranspose1d arithmetic exactly
+  (lhs dilation + (k-1-p) edge padding + spatially-flipped kernel), which the
+  HiFi-GAN decoder upsampling stack depends on.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+LRELU_SLOPE = 0.1
+
+Dtype = jnp.dtype
+
+
+def leaky_relu(x: jax.Array, slope: float = LRELU_SLOPE) -> jax.Array:
+    return jax.nn.leaky_relu(x, negative_slope=slope)
+
+
+def conv_precision(dtype) -> jax.lax.Precision:
+    """fp32 compute gets exact (HIGHEST) MXU passes; bf16 runs native.
+
+    Without this, TPU convs silently run fp32 operands through bf16 MXU
+    passes — fine for training throughput, wrong for the fp32 parity path.
+    """
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
+def torch_same_padding(kernel_size: int, dilation: int = 1) -> Tuple[int, int]:
+    """Symmetric torch-style padding (commons.py:14-15). Odd kernels only."""
+    p = (kernel_size * dilation - dilation) // 2
+    return (p, p)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the channel (last) axis — modules.py:19-31.
+
+    The reference transposes [B, C, T] -> [B, T, C] to normalize; our layout
+    is already channel-last so this is a plain fused LN.
+    """
+
+    channels: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param("gamma", nn.initializers.ones, (self.channels,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.channels,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * gamma + beta).astype(self.dtype)
+
+
+def _norm_except_last(v: jax.Array) -> jax.Array:
+    """L2 norm over all axes except the trailing (output-channel) axis."""
+    sq = jnp.sum(jnp.square(v), axis=tuple(range(v.ndim - 1)), keepdims=True)
+    return jnp.sqrt(sq)
+
+
+class Conv1d(nn.Module):
+    """1-D convolution in NHC layout with torch Conv1d semantics.
+
+    kernel is stored [k, in/groups, out]. `weight_norm=True` stores (v, g)
+    and materializes kernel = g * v / ||v|| per call (torch weight_norm
+    dim=0 equivalent). `padding="same"` is the torch symmetric padding for
+    odd kernels; pass an explicit (lo, hi) tuple otherwise.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    padding: object = "same"  # "same" | "valid" | (lo, hi)
+    use_bias: bool = True
+    weight_norm: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = (self.kernel_size, in_ch // self.groups, self.features)
+        if self.weight_norm:
+            v = self.param("v", self.kernel_init, kshape, jnp.float32)
+            g = self.param("g", lambda rng, shape: _norm_except_last(self.kernel_init(rng, kshape)).reshape(shape), (1, 1, self.features))
+            kernel = (g * v / jnp.maximum(_norm_except_last(v), 1e-12)).astype(self.dtype)
+        else:
+            kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32).astype(self.dtype)
+
+        if self.padding == "same":
+            pad = [torch_same_padding(self.kernel_size, self.dilation)]
+        elif self.padding == "valid":
+            pad = [(0, 0)]
+        else:
+            pad = [tuple(self.padding)]
+
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel,
+            window_strides=(self.stride,),
+            padding=pad,
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=self.groups,
+            precision=conv_precision(self.dtype),
+        )
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class ConvTranspose1d(nn.Module):
+    """Transposed 1-D conv with exact torch ConvTranspose1d arithmetic.
+
+    out_len = (T-1)*stride - 2*padding + kernel_size. Used by the HiFi-GAN
+    upsample stack (configs/48k_base.json:61-62: rates 8,8,4,2 / kernels
+    16,16,4,4 / padding (k-s)//2 -> exact rate x upsampling).
+    kernel stored [k, out, in] (pre-flipped torch layout — see converter).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+    weight_norm: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = (self.kernel_size, self.features, in_ch)  # [k, out, in]
+        if self.weight_norm:
+            # torch weight_norm(dim=0) on ConvTranspose1d weight [in, out, k]
+            # normalizes per *input* channel; our trailing axis here is `in`.
+            v = self.param("v", self.kernel_init, kshape, jnp.float32)
+            g = self.param("g", lambda rng, shape: _norm_except_last(self.kernel_init(rng, kshape)).reshape(shape), (1, 1, in_ch))
+            kernel = (g * v / jnp.maximum(_norm_except_last(v), 1e-12)).astype(self.dtype)
+        else:
+            kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32).astype(self.dtype)
+
+        # Equivalent regular conv: dilate input by stride, pad k-1-p, flip kernel.
+        k, p, s = self.kernel_size, self.padding, self.stride
+        kernel_flipped = jnp.flip(kernel, axis=0)  # [k, out, in]
+        kernel_hio = jnp.transpose(kernel_flipped, (0, 2, 1))  # [k, in, out]
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel_hio,
+            window_strides=(1,),
+            padding=[(k - 1 - p, k - 1 - p)],
+            lhs_dilation=(s,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            precision=conv_precision(self.dtype),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class Conv2dNorm(nn.Module):
+    """Weight-normed 2-D conv in NHWC for the period discriminators
+    (discriminator.py:17-25: kernels (5,1), strides (3,1))."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0))
+    weight_norm: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = (*self.kernel_size, in_ch, self.features)
+        if self.weight_norm:
+            v = self.param("v", self.kernel_init, kshape, jnp.float32)
+            g = self.param("g", lambda rng, shape: _norm_except_last(self.kernel_init(rng, kshape)).reshape(shape), (1, 1, 1, self.features))
+            kernel = (g * v / jnp.maximum(_norm_except_last(v), 1e-12)).astype(self.dtype)
+        else:
+            kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel,
+            window_strides=self.strides,
+            padding=list(self.padding),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=conv_precision(self.dtype),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return y + b.astype(self.dtype)
+
+
+def normal_init(std: float = 0.01) -> Callable:
+    """HiFi-GAN's init_weights (commons.py:9-12): N(0, 0.01) conv kernels."""
+    def init(rng, shape, dtype=jnp.float32):
+        return jax.random.normal(rng, shape, dtype) * std
+    return init
