@@ -1,0 +1,152 @@
+"""Multi-period + multi-scale GAN discriminators.
+
+Capability parity with /root/reference/vits/model/discriminators/
+discriminator.py:12-74 (DiscriminatorP/S), multi_period_discriminator.py:9-30
+(1 x scale + one period head per prime), multi_scale_discriminator.py:10-43
+(5 cascaded scale heads with AvgPool1d(4,2,pad=2)). The 48k config runs 12
+periods [2..37] -> 13 MPD heads + 5 MSD heads = 18 sub-discriminators
+(SURVEY.md §2.5).
+
+TPU design: waveforms are [B, T, 1]; the period reshape puts the period on
+the lane-adjacent axis ([B, T/p, p, C] NHWC) so the (5,1)-kernel strided
+convs tile cleanly. All heads run inside one jit — XLA schedules them as
+independent conv chains on the single program.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vcvits_tpu.models.layers import (
+    Conv1d,
+    Conv2dNorm,
+    Dtype,
+    LRELU_SLOPE,
+    leaky_relu,
+)
+
+FeatureMaps = List[jax.Array]
+
+
+class DiscriminatorP(nn.Module):
+    """Period-p head: fold time into [T/p, p] and run (5,1)/(3,1) conv stack."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, FeatureMaps]:
+        b, t, c = x.shape
+        p = self.period
+        if t % p != 0:
+            n_pad = p - (t % p)
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
+            t = t + n_pad
+        x = x.reshape(b, t // p, p, c)
+
+        fmap: FeatureMaps = []
+        kp = (self.kernel_size - 1) // 2
+        for i, ch in enumerate([32, 128, 512, 1024]):
+            x = Conv2dNorm(ch, (self.kernel_size, 1), strides=(self.stride, 1),
+                           padding=((kp, kp), (0, 0)), dtype=self.dtype,
+                           name=f"conv_{i}")(x)
+            x = leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = Conv2dNorm(1024, (self.kernel_size, 1), strides=(1, 1),
+                       padding=((kp, kp), (0, 0)), dtype=self.dtype, name="conv_4")(x)
+        x = leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+        x = Conv2dNorm(1, (3, 1), strides=(1, 1), padding=((1, 1), (0, 0)),
+                       dtype=self.dtype, name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class DiscriminatorS(nn.Module):
+    """Scale head: grouped 1-D conv stack (kernels 15/41/5, groups up to 256)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, FeatureMaps]:
+        b = x.shape[0]
+        fmap: FeatureMaps = []
+        specs = [
+            # (features, kernel, stride, groups, padding)
+            (16, 15, 1, 1, 7),
+            (64, 41, 4, 4, 20),
+            (256, 41, 4, 16, 20),
+            (1024, 41, 4, 64, 20),
+            (1024, 41, 4, 256, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        for i, (f, k, s, g, p) in enumerate(specs):
+            x = Conv1d(f, k, stride=s, groups=g, padding=(p, p), weight_norm=True,
+                       dtype=self.dtype, name=f"conv_{i}")(x)
+            x = leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = Conv1d(1, 3, padding=(1, 1), weight_norm=True, dtype=self.dtype,
+                   name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+def _avg_pool_4_2(x: jax.Array) -> jax.Array:
+    """torch AvgPool1d(kernel=4, stride=2, padding=2), count_include_pad=True."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 4, 1), (1, 2, 1), [(0, 0), (2, 2), (0, 0)]
+    )
+    return s / 4.0
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """1 x DiscriminatorS + one DiscriminatorP per period (reference adds the
+    scale head inside MPD — multi_period_discriminator.py:12-14)."""
+
+    periods: Sequence[int] = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jax.Array, y_hat: jax.Array):
+        logits_r, logits_g, fmaps_r, fmaps_g = [], [], [], []
+        heads = [DiscriminatorS(dtype=self.dtype, name="disc_s")]
+        heads += [
+            DiscriminatorP(p, dtype=self.dtype, name=f"disc_p{p}") for p in self.periods
+        ]
+        for head in heads:
+            lr, fr = head(y)
+            lg, fg = head(y_hat)
+            logits_r.append(lr)
+            logits_g.append(lg)
+            fmaps_r.append(fr)
+            fmaps_g.append(fg)
+        return logits_r, logits_g, fmaps_r, fmaps_g
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """5 scale heads on a 2x avg-pool cascade (multi_scale_discriminator.py:10-43)."""
+
+    n_scales: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jax.Array, y_hat: jax.Array):
+        logits_r, logits_g, fmaps_r, fmaps_g = [], [], [], []
+        for i in range(self.n_scales):
+            if i != 0:
+                y = _avg_pool_4_2(y)
+                y_hat = _avg_pool_4_2(y_hat)
+            head = DiscriminatorS(dtype=self.dtype, name=f"disc_{i}")
+            lr, fr = head(y)
+            lg, fg = head(y_hat)
+            logits_r.append(lr)
+            logits_g.append(lg)
+            fmaps_r.append(fr)
+            fmaps_g.append(fg)
+        return logits_r, logits_g, fmaps_r, fmaps_g

@@ -1,0 +1,131 @@
+"""In-repo HiFi-GAN MRF decoder (the 48 kHz waveform generator).
+
+The reference fetches its decoder from the network at construction time
+(torch.hub.load("vtuber-plan/hifi-gan:v0.3.1", "hifigan_48k"),
+synthesizer_svc.py:59) and keeps only the MRF ResBlocks in-repo
+(modules.py:186-247). Here the full generator lives in-repo, built from the
+config hyperparameters the reference ships (configs/48k_base.json:54-63:
+512 initial channels, ConvTranspose upsampling 8*8*4*2 = 512x = hop_length,
+ResBlock1 MRF with kernels [3,7,11] x dilations [1,3,5]).
+
+TPU design notes:
+* [B, T, C] layout end-to-end; the transposed convs use the torch-exact
+  ConvTranspose1d so converted checkpoints reproduce bit-comparable audio.
+* Optional speaker conditioning (gin_channels) on the decoder input — the
+  capability SynthesizerSVC.voice_conversion assumes (synthesizer_svc.py:118)
+  but the hub vocoder lacks (SURVEY.md §3.4 defect, fixed here).
+* All convs weight-normed with N(0, 0.01) init (commons.py:9-12).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vcvits_tpu.models.layers import (
+    Conv1d,
+    ConvTranspose1d,
+    Dtype,
+    LRELU_SLOPE,
+    leaky_relu,
+    normal_init,
+)
+
+
+class ResBlock1(nn.Module):
+    """MRF residual block, 3 dilated + 3 plain convs (modules.py:186-216)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Tuple[int, ...] = (1, 3, 5)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, x_mask: Optional[jax.Array] = None) -> jax.Array:
+        for i, d in enumerate(self.dilations):
+            xt = leaky_relu(x, LRELU_SLOPE)
+            if x_mask is not None:
+                xt = xt * x_mask
+            xt = Conv1d(self.channels, self.kernel_size, dilation=d, weight_norm=True,
+                        kernel_init=normal_init(), dtype=self.dtype, name=f"c1_{i}")(xt)
+            xt = leaky_relu(xt, LRELU_SLOPE)
+            if x_mask is not None:
+                xt = xt * x_mask
+            xt = Conv1d(self.channels, self.kernel_size, dilation=1, weight_norm=True,
+                        kernel_init=normal_init(), dtype=self.dtype, name=f"c2_{i}")(xt)
+            x = xt + x
+        if x_mask is not None:
+            x = x * x_mask
+        return x
+
+
+class ResBlock2(nn.Module):
+    """Lighter 2-conv MRF variant (modules.py:225-243)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Tuple[int, ...] = (1, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, x_mask: Optional[jax.Array] = None) -> jax.Array:
+        for i, d in enumerate(self.dilations):
+            xt = leaky_relu(x, LRELU_SLOPE)
+            if x_mask is not None:
+                xt = xt * x_mask
+            xt = Conv1d(self.channels, self.kernel_size, dilation=d, weight_norm=True,
+                        kernel_init=normal_init(), dtype=self.dtype, name=f"c_{i}")(xt)
+            x = xt + x
+        if x_mask is not None:
+            x = x * x_mask
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    """ConvTranspose upsampling + multi-receptive-field fusion -> tanh wave.
+
+    in: [B, T, inter_channels] latent; out: [B, T * prod(upsample_rates), 1].
+    """
+
+    initial_channel: int
+    resblock: str = "1"
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    upsample_rates: Sequence[int] = (8, 8, 4, 2)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
+    gin_channels: int = 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, g: Optional[jax.Array] = None) -> jax.Array:
+        res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
+        num_kernels = len(self.resblock_kernel_sizes)
+
+        x = Conv1d(self.upsample_initial_channel, 7, padding=(3, 3), weight_norm=True,
+                   dtype=self.dtype, name="conv_pre")(x)
+        if g is not None and self.gin_channels > 0:
+            x = x + nn.Dense(self.upsample_initial_channel, dtype=self.dtype,
+                             name="cond")(g)[:, None, :]
+
+        for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
+            x = leaky_relu(x, LRELU_SLOPE)
+            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
+                                weight_norm=True, kernel_init=normal_init(),
+                                dtype=self.dtype, name=f"up_{i}")(x)
+            xs = None
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+            ):
+                block = res_cls(ch, rk, tuple(rd), dtype=self.dtype, name=f"res_{i}_{j}")
+                xs = block(x) if xs is None else xs + block(x)
+            x = xs / num_kernels
+
+        x = leaky_relu(x, 0.01)  # final activation uses torch's default slope
+        x = Conv1d(1, 7, padding=(3, 3), weight_norm=True, dtype=self.dtype,
+                   name="conv_post")(x)
+        return jnp.tanh(x)
