@@ -1,0 +1,90 @@
+"""JAX HuBERT parity vs transformers.HubertModel (torch CPU, random init).
+
+No pretrained weights exist in this environment (zero egress); fidelity is
+established structurally: a randomly-initialized torch HubertModel is
+converted and must reproduce features to float tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from vcvits_tpu.convert.hubert_torch import convert_hubert_state_dict
+from vcvits_tpu.models.hubert import (
+    HUBERT_BASE,
+    HubertConfig,
+    HubertModel,
+    hubert_frames,
+)
+
+TINY = HubertConfig(
+    conv_layers=((32, 10, 5), (32, 3, 2)),
+    conv_bias=False,
+    hidden_size=32,
+    num_layers=2,
+    num_heads=4,
+    intermediate_size=64,
+    pos_conv_kernel=16,
+    pos_conv_groups=4,
+)
+
+
+@pytest.fixture(scope="module")
+def torch_tiny():
+    from transformers import HubertConfig as HFConfig, HubertModel as HFModel
+
+    hf_cfg = HFConfig(
+        vocab_size=10,
+        hidden_size=TINY.hidden_size,
+        num_hidden_layers=TINY.num_layers,
+        num_attention_heads=TINY.num_heads,
+        intermediate_size=TINY.intermediate_size,
+        conv_dim=[c for c, _, _ in TINY.conv_layers],
+        conv_kernel=[k for _, k, _ in TINY.conv_layers],
+        conv_stride=[s for _, _, s in TINY.conv_layers],
+        num_feat_extract_layers=len(TINY.conv_layers),
+        num_conv_pos_embeddings=TINY.pos_conv_kernel,
+        num_conv_pos_embedding_groups=TINY.pos_conv_groups,
+        feat_extract_norm="group",
+        do_stable_layer_norm=False,
+        hidden_act="gelu",
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        conv_bias=False,
+    )
+    torch.manual_seed(0)
+    model = HFModel(hf_cfg).eval()
+    return model
+
+
+def test_hubert_parity_with_transformers(torch_tiny, rng):
+    wav = rng.standard_normal((2, 800)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = torch_tiny(torch.from_numpy(wav)).last_hidden_state.numpy()
+
+    sd = {k: v.detach().numpy() for k, v in torch_tiny.state_dict().items()}
+    params = convert_hubert_state_dict(sd, TINY)
+    model = HubertModel(TINY)
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(wav)))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_hubert_frame_arithmetic():
+    # reference pads wav by 40 each side => frames = len/320 (SURVEY.md §2.4)
+    assert HUBERT_BASE.downsample == 320
+    assert HUBERT_BASE.receptive_field == 400
+    for n in [16000, 32000, 48000]:
+        assert hubert_frames(n + 80) == n // 320
+
+
+def test_hubert_base_shapes():
+    model = HubertModel(HUBERT_BASE)
+    wav = jnp.zeros((1, 3280))  # 3200 + 80 pad
+    params = model.init(jax.random.PRNGKey(0), wav)
+    out = model.apply(params, wav)
+    assert out.shape == (1, 10, 768)
