@@ -1,0 +1,225 @@
+"""SynthesizerSVC — the end-to-end voice-conversion generator.
+
+Capability parity with
+/root/reference/vits/model/synthesizers/synthesizer_svc.py:18-119:
+forward (training: enc_p || enc_q -> flow -> nearest-interp prior -> random
+segment -> decoder), infer (prior sample -> reverse flow -> decoder), and
+the flow-swap any-to-any voice_conversion (:111-119) — here done right: the
+in-repo decoder takes the target speaker embedding (the hub vocoder the
+reference calls with g= is not speaker-conditioned; SURVEY.md §3.4).
+
+TPU design: every method is one jit-able function with static shapes; the
+nearest interpolation is a static gather index (no F.interpolate), segment
+slicing is vmapped dynamic_slice, randomness is explicit PRNG keys.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vcvits_tpu.config import Config
+from vcvits_tpu.models.content_encoder import HubertContentEncoder
+from vcvits_tpu.models.flow import ResidualCouplingBlock
+from vcvits_tpu.models.hifigan import HiFiGANGenerator
+from vcvits_tpu.models.hubert import HUBERT_BASE, HUBERT_XTRALARGE, HubertConfig
+from vcvits_tpu.models.layers import Dtype
+from vcvits_tpu.models.posterior import PosteriorEncoder
+from vcvits_tpu.utils.masking import rand_slice_segments, sequence_mask
+
+
+def nearest_interp(x: jax.Array, t_out: int) -> jax.Array:
+    """[B, T_in, C] -> [B, t_out, C], torch F.interpolate(mode='nearest')
+    semantics: out[j] = in[floor(j * T_in / t_out)]."""
+    t_in = x.shape[1]
+    idx = (jnp.arange(t_out) * t_in // t_out).astype(jnp.int32)
+    return x[:, idx, :]
+
+
+def hubert_config_for(hubert_channels: int) -> HubertConfig:
+    return HUBERT_XTRALARGE if hubert_channels == 1280 else HUBERT_BASE
+
+
+class SynthesizerSVC(nn.Module):
+    spec_channels: int
+    segment_size: int  # in spec frames (train.segment_size // hop_length)
+    inter_channels: int
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int
+    kernel_size: int
+    p_dropout: float
+    resblock: str
+    resblock_kernel_sizes: Tuple[int, ...]
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...]
+    upsample_rates: Tuple[int, ...]
+    upsample_initial_channel: int
+    upsample_kernel_sizes: Tuple[int, ...]
+    hubert_channels: int
+    num_pitch: int
+    n_speakers: int = 0
+    gin_channels: int = 0
+    hubert_cfg: Optional[HubertConfig] = None  # override (tests / custom sizes)
+    dtype: Dtype = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg: Config, dtype=jnp.float32) -> "SynthesizerSVC":
+        m = cfg.model
+        return cls(
+            spec_channels=cfg.data.spec_channels,
+            segment_size=cfg.train.segment_size // cfg.data.hop_length,
+            inter_channels=m.inter_channels,
+            hidden_channels=m.hidden_channels,
+            filter_channels=m.filter_channels,
+            n_heads=m.n_heads,
+            n_layers=m.n_layers,
+            kernel_size=m.kernel_size,
+            p_dropout=m.p_dropout,
+            resblock=m.resblock,
+            resblock_kernel_sizes=m.resblock_kernel_sizes,
+            resblock_dilation_sizes=m.resblock_dilation_sizes,
+            upsample_rates=m.upsample_rates,
+            upsample_initial_channel=m.upsample_initial_channel,
+            upsample_kernel_sizes=m.upsample_kernel_sizes,
+            hubert_channels=m.hubert_channels,
+            num_pitch=m.num_pitch,
+            n_speakers=cfg.data.n_speakers,
+            gin_channels=m.gin_channels,
+            dtype=dtype,
+        )
+
+    def setup(self):
+        self.enc_p = HubertContentEncoder(
+            hubert_cfg=self.hubert_cfg or hubert_config_for(self.hubert_channels),
+            out_channels=self.inter_channels,
+            hidden_channels=self.hidden_channels,
+            filter_channels=self.filter_channels,
+            n_heads=self.n_heads,
+            n_layers=self.n_layers,
+            kernel_size=self.kernel_size,
+            p_dropout=self.p_dropout,
+            num_pitch=self.num_pitch,
+            dtype=self.dtype,
+        )
+        self.dec = HiFiGANGenerator(
+            initial_channel=self.inter_channels,
+            resblock=self.resblock,
+            resblock_kernel_sizes=self.resblock_kernel_sizes,
+            resblock_dilation_sizes=self.resblock_dilation_sizes,
+            upsample_rates=self.upsample_rates,
+            upsample_initial_channel=self.upsample_initial_channel,
+            upsample_kernel_sizes=self.upsample_kernel_sizes,
+            gin_channels=self.gin_channels,
+            dtype=self.dtype,
+        )
+        self.enc_q = PosteriorEncoder(
+            self.spec_channels, self.inter_channels, self.hidden_channels,
+            5, 1, 16, gin_channels=self.gin_channels, dtype=self.dtype,
+        )
+        self.flow = ResidualCouplingBlock(
+            self.inter_channels, self.hidden_channels, 5, 1, 4,
+            gin_channels=self.gin_channels, dtype=self.dtype,
+        )
+        if self.n_speakers >= 1:
+            self.emb_g = nn.Embed(self.n_speakers, self.gin_channels,
+                                  dtype=self.dtype, name="emb_g")
+
+    def _speaker(self, sid: Optional[jax.Array]) -> Optional[jax.Array]:
+        if self.n_speakers >= 1 and sid is not None:
+            return self.emb_g(sid)  # [B, gin]
+        return None
+
+    def __call__(
+        self,
+        x_wav: jax.Array,
+        x_wav_lengths: jax.Array,
+        x_pitch: jax.Array,
+        y_spec: jax.Array,
+        y_spec_lengths: jax.Array,
+        sid: Optional[jax.Array] = None,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ):
+        """Training forward (synthesizer_svc.py:70-88). Returns
+        (y_hat, ids_slice, x_mask, y_mask, (z, z_p, m_p, logs_p, m_q, logs_q)).
+        """
+        if rng is None:
+            rng = self.make_rng("sample")
+        r_post, r_slice = jax.random.split(rng)
+
+        _, m_p, logs_p, x_mask = self.enc_p(
+            x_wav, x_wav_lengths, x_pitch, deterministic=deterministic
+        )
+        g = self._speaker(sid)
+        z, m_q, logs_q, y_mask = self.enc_q(y_spec, y_spec_lengths, g=g, rng=r_post)
+        z_p = self.flow(z, y_mask, g=g)
+
+        t_spec = y_spec.shape[1]
+        m_p = nearest_interp(m_p, t_spec)
+        logs_p = nearest_interp(logs_p, t_spec)
+
+        z_slice, ids_slice = rand_slice_segments(
+            z, y_spec_lengths, self.segment_size, r_slice
+        )
+        o = self.dec(z_slice, g=g)
+        return o, ids_slice, x_mask, y_mask, (z, z_p, m_p, logs_p, m_q, logs_q)
+
+    def infer(
+        self,
+        x_wav: jax.Array,
+        x_wav_lengths: jax.Array,
+        x_pitch: jax.Array,
+        sid: Optional[jax.Array] = None,
+        noise_scale: float = 1.0,
+        length_scale: float = (48000 / 512) / 16000,
+        max_len: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Inference (synthesizer_svc.py:90-109). Static output length
+        t_out = round(T_wav * length_scale); per-row validity via y_mask."""
+        if rng is None:
+            rng = self.make_rng("sample")
+        _, m_p, logs_p, x_mask = self.enc_p(x_wav, x_wav_lengths, x_pitch)
+        g = self._speaker(sid)
+
+        t_out = int(round(x_wav.shape[1] * length_scale))
+        y_lengths = (x_wav_lengths.astype(jnp.float32) * length_scale).astype(jnp.int32)
+        y_mask = sequence_mask(y_lengths, t_out).astype(m_p.dtype)
+
+        m_p = nearest_interp(m_p, t_out)
+        logs_p = nearest_interp(logs_p, t_out)
+
+        eps = jax.random.normal(rng, m_p.shape, m_p.dtype)
+        z_p = m_p + eps * jnp.exp(logs_p) * noise_scale
+        z = self.flow(z_p, y_mask, g=g, reverse=True)
+        z = z * y_mask
+        if max_len is not None:
+            z = z[:, :max_len]
+            y_mask = y_mask[:, :max_len]
+        o = self.dec(z, g=g)
+        return o, y_mask, (z, z_p, m_p, logs_p)
+
+    def voice_conversion(
+        self,
+        y_spec: jax.Array,
+        y_spec_lengths: jax.Array,
+        sid_src: jax.Array,
+        sid_tgt: jax.Array,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Any-to-any flow swap (synthesizer_svc.py:111-119), with the
+        speaker-conditioned in-repo decoder."""
+        assert self.n_speakers > 0, "voice_conversion requires speaker embeddings"
+        if rng is None:
+            rng = self.make_rng("sample")
+        g_src = self.emb_g(sid_src)
+        g_tgt = self.emb_g(sid_tgt)
+        z, m_q, logs_q, y_mask = self.enc_q(y_spec, y_spec_lengths, g=g_src, rng=rng)
+        z_p = self.flow(z, y_mask, g=g_src)
+        z_hat = self.flow(z_p, y_mask, g=g_tgt, reverse=True)
+        o_hat = self.dec(z_hat * y_mask, g=g_tgt)
+        return o_hat, y_mask, (z, z_p, z_hat)
