@@ -1,0 +1,76 @@
+"""Streaming chunked conversion: arbitrary push sizes, constant output
+cadence, total-length preservation, and reuse of one compiled program."""
+
+import jax
+import numpy as np
+import pytest
+
+from vcvits_tpu.config import Config
+from vcvits_tpu.infer import VoiceConverter
+from vcvits_tpu.models.hubert import HubertConfig
+from vcvits_tpu.streaming import StreamingConverter
+
+TINY_HUBERT = HubertConfig(
+    conv_layers=((16, 10, 5), (16, 8, 8), (16, 8, 8)),
+    hidden_size=16, num_layers=1, num_heads=2, intermediate_size=32,
+    pos_conv_kernel=8, pos_conv_groups=2,
+)
+
+
+@pytest.fixture(scope="module")
+def converter():
+    cfg = Config.from_dict({
+        "train": {"segment_size": 2048},
+        "data": {"filter_length": 1024, "win_length": 1024, "hop_length": 512,
+                 "n_mel_channels": 8, "n_speakers": 4, "num_pitch": 64},
+        "model": {
+            "inter_channels": 8, "hidden_channels": 16, "filter_channels": 32,
+            "n_heads": 2, "n_layers": 1, "kernel_size": 3, "p_dropout": 0.0,
+            "hubert_channels": 16, "num_pitch": 64, "gin_channels": 4,
+            "upsample_initial_channel": 32,
+            "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3]],
+        },
+    })
+    from vcvits_tpu.models.synthesizer import SynthesizerSVC
+
+    gen = SynthesizerSVC.from_config(cfg).clone(hubert_cfg=TINY_HUBERT)
+    t = 7680
+    import jax.numpy as jnp
+
+    k = jax.random.PRNGKey(0)
+    variables = gen.init(
+        {"params": k, "sample": k},
+        jnp.zeros((1, t)), jnp.array([t]), jnp.zeros((1, t // 320), jnp.int32),
+        jnp.array([0]), method=SynthesizerSVC.infer,
+    )
+    return VoiceConverter(cfg, variables["params"], hubert_cfg=TINY_HUBERT)
+
+
+def test_streaming_matches_length_and_cadence(converter):
+    sc = StreamingConverter(converter, speaker_id=1,
+                            chunk_seconds=0.32, context_seconds=0.16)
+    sr = 16000
+    total = int(sr * 1.0)
+    rng = np.random.default_rng(0)
+    t = np.arange(total) / sr
+    src = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+    out_pieces = []
+    # push in awkward sizes (not aligned to anything)
+    for start in range(0, total, 1777):
+        out_pieces.extend(sc.push(src[start : start + 1777]))
+    out_pieces.extend(sc.flush())
+
+    out = np.concatenate(out_pieces)
+    # output duration == input duration * 3 (16k -> 48k), +- crossfade tail
+    assert abs(len(out) - total * 3) <= sc.xfade + 3
+    assert np.isfinite(out).all()
+
+
+def test_streaming_reset(converter):
+    sc = StreamingConverter(converter, speaker_id=0,
+                            chunk_seconds=0.16, context_seconds=0.16)
+    src = np.zeros(16000, np.float32)
+    list(sc.push(src))
+    sc.reset()
+    assert len(sc._buf) == 0 and sc._tail is None

@@ -1,0 +1,93 @@
+"""GAN train step: runs jitted, metrics finite, params update, HuBERT frozen."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vcvits_tpu.config import Config
+from vcvits_tpu.models.hubert import HubertConfig
+from vcvits_tpu.train.state import create_train_state
+from vcvits_tpu.train.step import init_params, make_train_step
+
+TINY_HUBERT = HubertConfig(
+    conv_layers=((16, 10, 5), (16, 8, 8), (16, 8, 8)),
+    hidden_size=16, num_layers=1, num_heads=2, intermediate_size=32,
+    pos_conv_kernel=8, pos_conv_groups=2,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config.from_dict({
+        "train": {"segment_size": 2048, "batch_size": 2, "steps_per_epoch": 10},
+        "data": {"filter_length": 1024, "win_length": 1024, "hop_length": 512,
+                 "n_mel_channels": 8, "n_speakers": 8},
+        "model": {
+            "inter_channels": 8, "hidden_channels": 16, "filter_channels": 32,
+            "n_heads": 2, "n_layers": 1, "kernel_size": 3, "p_dropout": 0.1,
+            "hubert_channels": 16, "num_pitch": 64, "gin_channels": 4,
+            "upsample_initial_channel": 32,
+            "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3]],
+            "multi_period_discriminator_periods": [2, 3],
+        },
+    })
+
+
+@pytest.fixture(scope="module")
+def batch():
+    g = np.random.default_rng(0)
+    tx, ty = 5120, 15360  # 0.32 s; ty = 3*tx (48k), 30 spec frames
+    return {
+        "x_wav": jnp.asarray(g.standard_normal((2, tx)).astype(np.float32) * 0.1),
+        "x_wav_lengths": jnp.array([tx, tx - 640]),
+        "x_pitch": jnp.asarray(g.integers(1, 64, (2, tx // 320))),
+        "y_wav": jnp.asarray(g.standard_normal((2, ty)).astype(np.float32) * 0.1),
+        "y_wav_lengths": jnp.array([ty, ty - 2048]),
+        "sid": jnp.array([1, 5]),
+    }
+
+
+def test_train_step_end_to_end(cfg, batch):
+    g_params, d_params = init_params(cfg, jax.random.PRNGKey(0), batch,
+                                     hubert_cfg=TINY_HUBERT)
+    state = create_train_state(cfg, g_params, d_params)
+    step = jax.jit(make_train_step(cfg, hubert_cfg=TINY_HUBERT))
+
+    state1, m1 = step(state, batch, jax.random.PRNGKey(1))
+    state2, m2 = step(state1, batch, jax.random.PRNGKey(2))
+
+    for k, v in m1.items():
+        assert np.isfinite(np.asarray(v)).all(), f"{k} not finite: {v}"
+    assert int(state2.step) == 2
+
+    # params actually moved
+    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.g_params, state1.g_params)
+    assert max(jax.tree.leaves(moved)) > 0
+
+    # frozen hubert params did NOT move
+    hub0 = state.g_params["enc_p"]["hubert"]
+    hub1 = state1.g_params["enc_p"]["hubert"]
+    same = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        hub0, hub1)
+    assert max(jax.tree.leaves(same)) == 0.0
+
+    # discriminators moved
+    dmoved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                          state.d_params, state1.d_params)
+    assert max(jax.tree.leaves(dmoved)) > 0
+
+    # lr schedule: still epoch 0 at step 1
+    np.testing.assert_allclose(float(m1["learning_rate"]), 2e-4, rtol=1e-6)
+
+
+def test_lr_schedule_decays(cfg):
+    from vcvits_tpu.train.state import exponential_epoch_schedule
+
+    s = exponential_epoch_schedule(cfg)
+    lr0 = float(s(0))
+    lr1 = float(s(9))
+    lr2 = float(s(10))  # epoch boundary at steps_per_epoch=10
+    assert lr0 == lr1 == pytest.approx(2e-4)
+    assert lr2 == pytest.approx(2e-4 * 0.999875)

@@ -133,12 +133,28 @@ class Config:
 
     @staticmethod
     def from_dict(data: Dict[str, Any]) -> "Config":
-        return Config(
+        # the reference duplicates these in the data and model blocks; if the
+        # model block overrides one, keep the data block in lockstep so the
+        # host pipeline quantizes into the range the embeddings expect.
+        data = {k: dict(v) for k, v in data.items()}
+        model_blk = data.get("model", {})
+        data_blk = data.setdefault("data", {})
+        for dup in ("num_pitch", "hubert_channels"):
+            if dup in model_blk and dup not in data_blk:
+                data_blk[dup] = model_blk[dup]
+        cfg = Config(
             trainer=_from_dict(TrainerConfig, data.get("trainer", {})),
             train=_from_dict(TrainConfig, data.get("train", {})),
-            data=_from_dict(DataConfig, data.get("data", {})),
-            model=_from_dict(ModelConfig, data.get("model", {})),
+            data=_from_dict(DataConfig, data_blk),
+            model=_from_dict(ModelConfig, model_blk),
         )
+        if cfg.data.num_pitch != cfg.model.num_pitch:
+            raise ValueError(
+                f"data.num_pitch ({cfg.data.num_pitch}) != model.num_pitch "
+                f"({cfg.model.num_pitch}); the pitch quantizer and embedding "
+                "table must agree"
+            )
+        return cfg
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -173,7 +173,31 @@ def pyin(
     log_switch = math.log(switch_prob)
     log_obs = np.log(obs + tiny)
 
-    # Viterbi over the factorized (voicing x pitch-band) chain.
+    states = _viterbi_decode(log_obs, n_pitch_bins, log_tri, log_stay, log_switch)
+
+    freq_of_bin = fmin * 2.0 ** (np.arange(n_pitch_bins) / (12.0 * n_bps))
+    voiced_flag = states < n_pitch_bins
+    f0 = freq_of_bin[states % n_pitch_bins]
+    f0 = np.where(voiced_flag, f0, np.nan)
+    return f0, voiced_flag, voiced_prob
+
+
+def _viterbi_decode(
+    log_obs: np.ndarray, n_pitch_bins: int, log_tri: np.ndarray,
+    log_stay: float, log_switch: float,
+) -> np.ndarray:
+    """Viterbi over the factorized (voicing x pitch-band) chain; uses the
+    native C++ kernel (vcvits_tpu.native) when built, NumPy otherwise."""
+    from vcvits_tpu import native
+
+    ns = native.pyin_viterbi(log_obs, n_pitch_bins, log_tri, log_stay, log_switch)
+    if ns is not None:
+        return ns
+
+    n_frames = log_obs.shape[0]
+    half = len(log_tri) // 2
+    offsets = np.arange(-half, half + 1)
+    tiny = np.finfo(np.float64).tiny
     delta = np.log(np.full(2 * n_pitch_bins, 0.0) + tiny)
     delta[n_pitch_bins:] = math.log(1.0 / n_pitch_bins)  # start unvoiced
     delta = delta + log_obs[0]
@@ -217,12 +241,7 @@ def pyin(
     states[-1] = int(np.argmax(delta))
     for t in range(n_frames - 1, 0, -1):
         states[t - 1] = psi_v[t, states[t]]
-
-    freq_of_bin = fmin * 2.0 ** (np.arange(n_pitch_bins) / (12.0 * n_bps))
-    voiced_flag = states < n_pitch_bins
-    f0 = freq_of_bin[states % n_pitch_bins]
-    f0 = np.where(voiced_flag, f0, np.nan)
-    return f0, voiced_flag, voiced_prob
+    return states
 
 
 def estimate_pitch(

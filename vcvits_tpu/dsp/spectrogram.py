@@ -83,6 +83,11 @@ def stft_complex(
     """
     if pad is None:
         pad = int((n_fft - hop_length) / 2)
+    if pad < 0:
+        raise ValueError(
+            f"n_fft ({n_fft}) must be >= hop_length ({hop_length}) for the "
+            "reference's reflect-padding scheme"
+        )
     y = _reflect_pad(y, pad)
     frames = frame_signal(y, n_fft, hop_length)
     if method == "fft":

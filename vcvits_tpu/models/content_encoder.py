@@ -78,7 +78,9 @@ class HubertContentEncoder(nn.Module):
             dtype=self.dtype, name="emb_pitch",
         )
         t50 = h.shape[1]
-        pitch = x_pitch[:, :t50]
+        # clip defensively: flax Embed's OOB fill mode yields NaN rows, which
+        # would silently poison the whole utterance on a num_pitch mismatch.
+        pitch = jnp.clip(x_pitch[:, :t50], 0, self.num_pitch - 1)
         h = h + emb_pitch(pitch)
 
         frame_lengths = x_wav_lengths.astype(jnp.int32) // 320

@@ -1,0 +1,87 @@
+"""Device mesh, batch/parameter sharding, and multi-host init.
+
+Capability parity with the reference's distributed layer — Lightning DDP
+over NCCL (/root/reference/train.py:99-100, SURVEY.md §2.7/§5.8) — done the
+TPU way: a ('data', 'model') jax.sharding.Mesh; batches sharded over
+'data' (gradient psum rides ICI, inserted by XLA), with optional tensor
+sharding of the wide matmuls (HuBERT attention/FFN, the 1024-channel
+discriminator convs) over 'model'. Pipeline/expert parallelism do not
+apply to this architecture (no pipeline depth to split at these sizes, no
+MoE — SURVEY.md §2.7); sequence lengths never warrant sequence sharding
+(§5.7), so 'model' covers the tensor-parallel story.
+
+Single-controller multi-host: call `distributed_init()` once per process;
+the same code then runs on a full slice (psum over ICI) or multi-slice
+(DCN) transparently.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def distributed_init(**kwargs) -> None:
+    """jax.distributed.initialize for multi-host slices; no-op if single."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        pass  # already initialized or single-process
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} != {n} devices"
+    arr = np.array(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Shard every leaf's leading (batch) axis over 'data'."""
+    def put(x):
+        x = np.asarray(x) if not isinstance(x, jax.Array) else x
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, batch)
+
+
+def _tp_spec(path: Tuple[str, ...], value) -> P:
+    """Tensor-parallel partition rules by param path suffix."""
+    keys = [getattr(p, "key", str(p)) for p in path]
+    name = "/".join(keys)
+    ndim = np.ndim(value)
+    # HuBERT transformer: shard the head/FFN dimension.
+    if any(k in name for k in ("q_proj", "k_proj", "v_proj", "fc1")):
+        if name.endswith("kernel") and ndim == 2:
+            return P(None, "model")
+        if name.endswith("bias") and ndim == 1:
+            return P("model")
+    if any(k in name for k in ("out_proj", "fc2")):
+        if name.endswith("kernel") and ndim == 2:
+            return P("model", None)
+    # Wide discriminator / decoder convs: shard output channels.
+    if ndim == 3 and name.endswith(("/v", "/kernel")) and np.shape(value)[-1] >= 512:
+        return P(None, None, "model")
+    if ndim == 4 and name.endswith(("/v", "/kernel")) and np.shape(value)[-1] >= 512:
+        return P(None, None, None, "model")
+    return P()
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """Place params with tensor-parallel rules over the 'model' axis."""
+    def put(path, x):
+        return jax.device_put(x, NamedSharding(mesh, _tp_spec(path, x)))
+    return jax.tree_util.tree_map_with_path(put, params)
+
+
+def shard_replicated(tree, mesh: Mesh):
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,191 @@
+"""The jitted GAN train step (generator update + discriminator update).
+
+Capability parity with /root/reference/vits/light/vcvits.py:54-183
+(training_step for optimizer_idx 0 and 1), redesigned as ONE pure XLA
+program: spectrogram/mel feature extraction, generator forward, G loss +
+update, then D loss + update on the stop-gradient waveform. Differences
+from the reference, documented:
+
+* The reference (Lightning two-optimizer loop) recomputes the full
+  generator forward for the D step with post-update G weights and fresh
+  random slices; we reuse the G step's y_hat via stop_gradient — half the
+  generator FLOPs per step, standard VITS/HiFi-GAN practice.
+* grad norms are measured, not clipped (clip_grad_value_(None) parity,
+  commons.py:145-160) unless cfg.train.grad_clip is set.
+* Loss math in fp32 even when the nets compute in bf16 (losses.py parity).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vcvits_tpu.config import Config
+from vcvits_tpu.dsp.spectrogram import spec_to_mel, stft_magnitude
+from vcvits_tpu.models.discriminators import MultiPeriodDiscriminator, MultiScaleDiscriminator
+from vcvits_tpu.models.synthesizer import SynthesizerSVC
+from vcvits_tpu.train.audio_pipeline import smooth_source
+from vcvits_tpu.train.losses import (
+    discriminator_loss,
+    feature_loss,
+    generator_loss,
+    kl_loss,
+)
+from vcvits_tpu.train.state import GANTrainState, exponential_epoch_schedule, make_optimizer
+from vcvits_tpu.utils.masking import slice_segments
+
+
+def build_models(cfg: Config, dtype=jnp.float32, hubert_cfg=None):
+    gen = SynthesizerSVC.from_config(cfg, dtype=dtype)
+    if hubert_cfg is not None:
+        gen = gen.clone(hubert_cfg=hubert_cfg)
+    mpd = MultiPeriodDiscriminator(
+        periods=cfg.model.multi_period_discriminator_periods, dtype=dtype
+    )
+    msd = MultiScaleDiscriminator(dtype=dtype)
+    return gen, mpd, msd
+
+
+def init_params(cfg: Config, rng: jax.Array, batch: Dict[str, jax.Array],
+                dtype=jnp.float32, hubert_cfg=None):
+    """Initialize generator + discriminator params from an example batch."""
+    gen, mpd, msd = build_models(cfg, dtype=dtype, hubert_cfg=hubert_cfg)
+    hop = cfg.data.hop_length
+    t_spec = batch["y_wav"].shape[1] // hop
+    y_spec = jnp.zeros((batch["y_wav"].shape[0], t_spec, cfg.data.spec_channels))
+    seg = jnp.zeros((batch["x_wav"].shape[0], cfg.train.segment_size, 1))
+
+    # jit the init: eager layer-by-layer init is dominated by per-op
+    # dispatch latency (painful over the TPU tunnel).
+    @jax.jit
+    def _init(rng):
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        g_vars = gen.init(
+            {"params": k1, "sample": k2, "dropout": k3},
+            batch["x_wav"], batch["x_wav_lengths"], batch["x_pitch"],
+            y_spec, batch["y_wav_lengths"] // hop, batch.get("sid"),
+        )
+        mpd_vars = mpd.init(k4, seg, seg)
+        msd_vars = msd.init(k4, seg, seg)
+        return g_vars["params"], {"mpd": mpd_vars["params"], "msd": msd_vars["params"]}
+
+    return _init(rng)
+
+
+def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch (all padded to static bucket shapes):
+      x_wav [B, Tx] fp32 @16k, x_wav_lengths [B], x_pitch [B, Tx//320] int,
+      y_wav [B, Ty] fp32 @48k, y_wav_lengths [B], sid [B] int.
+    """
+    gen, mpd, msd = build_models(cfg, dtype=dtype, hubert_cfg=hubert_cfg)
+    g_opt = make_optimizer(cfg, freeze_hubert=True)
+    d_opt = make_optimizer(cfg, freeze_hubert=False)
+    schedule = exponential_epoch_schedule(cfg)
+
+    d = cfg.data
+    hop = d.hop_length
+    seg_frames = cfg.train.segment_size // hop
+
+    def features(y_wav):
+        y_spec = stft_magnitude(y_wav, d.filter_length, hop, d.win_length)
+        y_mel = spec_to_mel(y_spec, d.filter_length, d.n_mel_channels,
+                            d.target_sampling_rate, d.mel_fmin, d.mel_fmax)
+        return y_spec, y_mel
+
+    def train_step(state: GANTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        r_sample, r_dropout = jax.random.split(rng)
+
+        # --- frozen feature extraction (vcvits.py:61-77, inference_mode) ---
+        x_wav = smooth_source(batch["x_wav"], d.filter_length, hop, d.win_length)
+        x_wav = jax.lax.stop_gradient(x_wav)
+        y_spec, y_mel = features(batch["y_wav"])
+        y_spec = jax.lax.stop_gradient(y_spec)
+        y_mel = jax.lax.stop_gradient(y_mel)
+        y_spec_lengths = batch["y_wav_lengths"] // hop
+
+        sid = batch.get("sid")
+
+        # --- generator update (vcvits.py:85-148) ---
+        def g_loss_fn(g_params):
+            o, ids, x_mask, y_mask, (z, z_p, m_p, logs_p, m_q, logs_q) = gen.apply(
+                {"params": g_params},
+                x_wav.astype(dtype), batch["x_wav_lengths"], batch["x_pitch"],
+                y_spec.astype(dtype), y_spec_lengths, sid,
+                rng=r_sample, deterministic=False,
+                rngs={"dropout": r_dropout},
+            )
+            y_seg = slice_segments(
+                batch["y_wav"][:, :, None], ids * hop, cfg.train.segment_size
+            )
+            o32 = o.astype(jnp.float32)
+
+            p_lr, p_lg, p_fr, p_fg = mpd.apply(
+                {"params": state.d_params["mpd"]}, y_seg.astype(dtype), o)
+            s_lr, s_lg, s_fr, s_fg = msd.apply(
+                {"params": state.d_params["msd"]}, y_seg.astype(dtype), o)
+
+            loss_p_fm = feature_loss(p_fr, p_fg)
+            loss_s_fm = feature_loss(s_fr, s_fg)
+            loss_p_gen, _ = generator_loss(p_lg)
+            loss_s_gen, _ = generator_loss(s_lg)
+
+            _, o_mel = features(o32[:, :, 0])
+            y_mel_slice = slice_segments(y_mel, ids, seg_frames)
+            loss_mel = jnp.mean(jnp.abs(o_mel - y_mel_slice)) * cfg.train.c_mel
+            loss_kl = kl_loss(z_p, logs_q, m_p, logs_p, y_mask) * cfg.train.c_kl
+
+            total = (loss_s_gen + loss_s_fm) + (loss_p_gen + loss_p_fm) + loss_mel + loss_kl
+            aux = {
+                "y_hat": o, "ids": ids,
+                "loss/g/p_fm": loss_p_fm, "loss/g/s_fm": loss_s_fm,
+                "loss/g/p_gen": loss_p_gen, "loss/g/s_gen": loss_s_gen,
+                "loss/g/mel": loss_mel, "loss/g/kl": loss_kl,
+            }
+            return total, aux
+
+        (loss_g, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+        grad_norm_g = optax.global_norm(g_grads)
+        g_updates, g_opt_state = g_opt.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        # --- discriminator update (vcvits.py:151-183) ---
+        y_hat_sg = jax.lax.stop_gradient(aux["y_hat"])
+        y_seg = slice_segments(
+            batch["y_wav"][:, :, None], aux["ids"] * hop, cfg.train.segment_size
+        ).astype(dtype)
+
+        def d_loss_fn(d_params):
+            p_lr, p_lg, _, _ = mpd.apply({"params": d_params["mpd"]}, y_seg, y_hat_sg)
+            s_lr, s_lg, _, _ = msd.apply({"params": d_params["msd"]}, y_seg, y_hat_sg)
+            loss_p, _, _ = discriminator_loss(p_lr, p_lg)
+            loss_s, _, _ = discriminator_loss(s_lr, s_lg)
+            return loss_p + loss_s, {"loss/d/p": loss_p, "loss/d/s": loss_s}
+
+        (loss_d, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+        grad_norm_d = optax.global_norm(d_grads)
+        d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        metrics = {
+            "loss/g/total": loss_g,
+            "loss/d/total": loss_d,
+            "grad_norm_g": grad_norm_g,
+            "grad_norm_d": grad_norm_d,
+            "learning_rate": schedule(state.step),
+            **{k: v for k, v in aux.items() if k.startswith("loss/")},
+            **d_aux,
+        }
+        new_state = GANTrainState(
+            step=state.step + 1,
+            g_params=g_params, g_opt_state=g_opt_state,
+            d_params=d_params, d_opt_state=d_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,218 @@
+"""Training orchestrator: data -> jitted GAN step -> logging/ckpt/validation.
+
+Capability parity with the reference's Lightning Trainer wiring
+(/root/reference/train.py:82-113: loaders, VCVITS module, DDP strategy,
+ModelCheckpoint(every 2000 steps), val every 1000 steps on 1 batch,
+auto-resume from last.ckpt) — rebuilt as a plain loop around one jitted
+train step, with device_put-sharded batches on a data-parallel mesh, async
+Orbax checkpoints, and TensorBoard scalars/images/audio.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vcvits_tpu.config import Config
+from vcvits_tpu.data.dataset import VoiceConversionDataset, preprocess
+from vcvits_tpu.data.loader import BucketedLoader, prefetch
+from vcvits_tpu.dsp.spectrogram import mel_spectrogram
+from vcvits_tpu.models.synthesizer import SynthesizerSVC
+from vcvits_tpu.parallel.mesh import make_mesh, shard_batch, shard_replicated
+from vcvits_tpu.train.checkpoint import CheckpointManager
+from vcvits_tpu.train.state import create_train_state
+from vcvits_tpu.train.step import build_models, init_params, make_train_step
+from vcvits_tpu.utils.logging import TensorBoardLogger, mel_to_image
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        workdir: str = "logs",
+        dtype=jnp.float32,
+        hubert_cfg=None,
+        hubert_params=None,
+    ):
+        self.cfg = cfg
+        self.workdir = workdir
+        self.dtype = dtype
+        self.hubert_cfg = hubert_cfg
+        self.hubert_params = hubert_params
+        # Data-parallel mesh over as many devices as the global batch admits
+        # (production: make batch_size a multiple of the device count).
+        import math as _math
+
+        n_dev = len(jax.devices())
+        data_axis = _math.gcd(cfg.train.batch_size, n_dev)
+        if data_axis < n_dev:
+            logger.warning(
+                "batch_size %d not divisible by %d devices; using %d-way data "
+                "parallelism", cfg.train.batch_size, n_dev, data_axis,
+            )
+        self.mesh = make_mesh(data=data_axis, model=1,
+                              devices=jax.devices()[:data_axis])
+        self.tb = TensorBoardLogger(os.path.join(workdir, "tb"))
+        self.ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+        self.gen, self.mpd, self.msd = build_models(cfg, dtype=dtype, hubert_cfg=hubert_cfg)
+        self._train_step = jax.jit(
+            make_train_step(cfg, dtype=dtype, hubert_cfg=hubert_cfg), donate_argnums=(0,)
+        )
+        self._infer = jax.jit(
+            lambda p, w, l, pi, s, k: self.gen.apply(
+                {"params": p}, w, l, pi, s, rng=k, method=SynthesizerSVC.infer
+            )
+        )
+
+    # ------------------------------------------------------------------ setup
+    def init_state(self, example_batch: Dict[str, np.ndarray]):
+        batch = {k: jnp.asarray(v) for k, v in example_batch.items()}
+        g_params, d_params = init_params(
+            self.cfg, jax.random.PRNGKey(self.cfg.train.seed), batch,
+            dtype=self.dtype, hubert_cfg=self.hubert_cfg,
+        )
+        if self.hubert_params is not None:
+            g_params["enc_p"]["hubert"] = jax.tree.map(
+                jnp.asarray, self.hubert_params
+            )
+        state = create_train_state(self.cfg, g_params, d_params)
+        return shard_replicated(state, self.mesh)
+
+    def resume_or_init(self, example_batch):
+        state = self.init_state(example_batch)
+        step = self.ckpt.latest_step()
+        if step is not None:
+            state, changed = self.ckpt.restore_tolerant(state, step)
+            state = shard_replicated(state, self.mesh)
+            logger.info("resumed from step %d (tolerant=%s)", step, changed)
+        return state
+
+    # ------------------------------------------------------------------- fit
+    def fit(
+        self,
+        train_files: Optional[str] = None,
+        val_files: Optional[str] = None,
+        max_steps: Optional[int] = None,
+        train_loader=None,
+        val_loader=None,
+    ):
+        cfg = self.cfg
+        if train_loader is None:
+            train_ds = VoiceConversionDataset(train_files or cfg.data.training_files, cfg.data)
+            train_loader = BucketedLoader(train_ds, cfg.data, cfg.train.batch_size)
+        if val_loader is None and (val_files or cfg.data.validation_files):
+            try:
+                val_ds = VoiceConversionDataset(
+                    val_files or cfg.data.validation_files, cfg.data
+                )
+                val_loader = BucketedLoader(
+                    val_ds, cfg.data, min(cfg.train.batch_size, max(len(val_ds), 1)),
+                    shuffle=False, drop_last=False,
+                )
+            except FileNotFoundError:
+                val_loader = None
+
+        state = None
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        t_log = time.perf_counter()
+        steps_done = 0
+
+        for epoch in range(cfg.train.max_epochs):
+            for batch in prefetch(train_loader.epoch_batches(epoch)):
+                if state is None:
+                    state = self.resume_or_init(batch)
+                step_no = int(state.step)
+                if max_steps is not None and step_no >= max_steps:
+                    return self._finish(state, step_no)
+                rng, step_rng = jax.random.split(rng)
+                sharded = shard_batch(batch, self.mesh)
+                state, metrics = self._train_step(state, sharded, step_rng)
+                steps_done += 1
+                step_no = int(state.step)
+
+                if step_no % cfg.train.log_interval == 0:
+                    metrics = jax.device_get(metrics)
+                    dt = time.perf_counter() - t_log
+                    t_log = time.perf_counter()
+                    sps = cfg.train.log_interval / max(dt, 1e-9)
+                    self.tb.summarize(
+                        step_no,
+                        scalars={**{k: float(v) for k, v in metrics.items()
+                                    if np.ndim(v) == 0},
+                                 "steps_per_sec": sps},
+                    )
+                    logger.info(
+                        "step %d loss_g=%.3f loss_d=%.3f mel=%.3f (%.2f steps/s)",
+                        step_no, float(metrics["loss/g/total"]),
+                        float(metrics["loss/d/total"]), float(metrics["loss/g/mel"]),
+                        sps,
+                    )
+                if val_loader is not None and step_no % cfg.train.eval_interval == 0:
+                    self.validate(state, val_loader, step_no)
+                if step_no % cfg.train.checkpoint_interval == 0:
+                    self.ckpt.save(step_no, state)
+            if max_steps is None and epoch + 1 >= cfg.train.max_epochs:
+                break
+        if state is not None:
+            return self._finish(state, int(state.step))
+        return state
+
+    def _finish(self, state, step_no: int):
+        if self.ckpt.latest_step() != step_no:
+            self.ckpt.save(step_no, state)
+        self.ckpt.wait()
+        self.tb.flush()
+        self.tb.close()
+        logger.info("training finished at step %d", step_no)
+        return state
+
+    # ------------------------------------------------------------- validation
+    def validate(self, state, val_loader, step_no: int):
+        """Reference validation_step (vcvits.py:185-245): infer on one batch,
+        log generated vs ground-truth mel images + audio."""
+        cfg = self.cfg
+        d = cfg.data
+        try:
+            batch = next(iter(val_loader.epoch_batches(0)))
+        except StopIteration:
+            return
+        len_scale = (d.target_sampling_rate / d.hop_length) / d.source_sampling_rate
+        rng = jax.random.PRNGKey(0)
+        o, y_mask, _ = self._infer(
+            state.g_params, jnp.asarray(batch["x_wav"]),
+            jnp.asarray(batch["x_wav_lengths"]), jnp.asarray(batch["x_pitch"]),
+            jnp.asarray(batch["sid"]), rng,
+        )
+        o = np.asarray(jax.device_get(o))[0, :, 0]
+        n_valid = int(np.asarray(y_mask)[0].sum()) * d.hop_length
+        y = batch["y_wav"][0][: int(batch["y_wav_lengths"][0])]
+
+        def mel_of(wav):
+            t = (len(wav) // d.hop_length) * d.hop_length
+            if t == 0:
+                return np.zeros((1, d.n_mel_channels), np.float32)
+            m = mel_spectrogram(
+                jnp.asarray(wav[:t])[None, :], d.filter_length, d.n_mel_channels,
+                d.target_sampling_rate, d.hop_length, d.win_length,
+                d.mel_fmin, d.mel_fmax,
+            )
+            return np.asarray(m)[0]
+
+        self.tb.summarize(
+            step_no,
+            images={
+                "gen/mel": mel_to_image(mel_of(o[:n_valid])),
+                "gt/mel": mel_to_image(mel_of(y)),
+            },
+            audios={"gen/audio": o[:n_valid], "gt/audio": y},
+            audio_sampling_rate=d.target_sampling_rate,
+        )
+        self.tb.flush()
