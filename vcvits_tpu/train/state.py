@@ -68,8 +68,11 @@ def make_optimizer(cfg: Config, freeze_hubert: bool) -> optax.GradientTransforma
     return opt
 
 
-def create_train_state(cfg: Config, g_params, d_params) -> GANTrainState:
-    g_opt = make_optimizer(cfg, freeze_hubert=True)
+def create_train_state(cfg: Config, g_params, d_params,
+                       freeze_hubert: bool = True) -> GANTrainState:
+    """freeze_hubert=True for the VC path (frozen content encoder);
+    False for the TTS path (no HuBERT in the graph)."""
+    g_opt = make_optimizer(cfg, freeze_hubert=freeze_hubert)
     d_opt = make_optimizer(cfg, freeze_hubert=False)
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),

@@ -72,3 +72,19 @@ def kl_divergence(
     kl = (logs_q - logs_p) - 0.5
     kl += 0.5 * (jnp.exp(2.0 * logs_p) + (m_p - m_q) ** 2) * jnp.exp(-2.0 * logs_q)
     return kl
+
+
+def generate_path(duration: jax.Array, y_mask: jax.Array, x_mask: jax.Array) -> jax.Array:
+    """Durations -> hard monotonic alignment (commons.py:127-142).
+
+    duration: [B, T_x] (integer counts); y_mask: [B, T_y, 1]; x_mask:
+    [B, T_x, 1]. Returns attn [B, T_y, T_x] with attn[b, y, x] = 1 iff
+    cum_dur[x-1] <= y < cum_dur[x], masked to the valid region.
+    """
+    cum = jnp.cumsum(duration, axis=1)  # [B, T_x]
+    t_y = y_mask.shape[1]
+    ys = jnp.arange(t_y)[None, :, None]  # [1, T_y, 1]
+    upper = ys < cum[:, None, :]
+    lower = ys >= jnp.pad(cum[:, :-1], ((0, 0), (1, 0)))[:, None, :]
+    attn = (upper & lower).astype(y_mask.dtype)
+    return attn * y_mask * x_mask[:, None, :, 0]
