@@ -32,6 +32,8 @@ def main() -> None:
                         help="bfloat16 compute (fp16_run in the reference config)")
     parser.add_argument("--hubert-ckpt", default=None,
                         help="torch HuBERT checkpoint (fairseq .pt) to convert+load")
+    parser.add_argument("--profile", default=None,
+                        help="capture a jax.profiler trace into this directory")
     args = parser.parse_args()
 
     if args.accelerator == "cpu":
@@ -69,7 +71,13 @@ def main() -> None:
 
     trainer = Trainer(cfg, workdir=args.workdir, dtype=dtype,
                       hubert_params=hubert_params)
-    trainer.fit(max_steps=args.max_steps)
+    if args.profile:
+        from vcvits_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            trainer.fit(max_steps=args.max_steps)
+    else:
+        trainer.fit(max_steps=args.max_steps)
 
 
 if __name__ == "__main__":
