@@ -19,6 +19,9 @@ def main() -> None:
     parser.add_argument("source")
     parser.add_argument("output")
     parser.add_argument("--sid", type=int, default=256)
+    parser.add_argument("--vc-source-sid", type=int, default=None,
+                        help="flow-swap mode: source audio is OF this speaker; "
+                             "convert to --sid via the latent flow swap")
     parser.add_argument("--pitch-shift", type=int, default=0)
     parser.add_argument("--noise-scale", type=float, default=1.0)
     parser.add_argument("--workdir", default="logs")
@@ -32,8 +35,11 @@ def main() -> None:
 
     cfg = load_config(args.config) if args.config else None
     vc = VoiceConverter.from_checkpoint(args.workdir, cfg=cfg)
-    vc.convert(args.source, args.output, args.sid,
-               pitch_shift=args.pitch_shift, noise_scale=args.noise_scale)
+    if args.vc_source_sid is not None:
+        vc.voice_conversion(args.source, args.output, args.vc_source_sid, args.sid)
+    else:
+        vc.convert(args.source, args.output, args.sid,
+                   pitch_shift=args.pitch_shift, noise_scale=args.noise_scale)
     print(f"wrote {args.output}")
 
 

@@ -94,3 +94,14 @@ def test_fit_checkpoint_resume_infer(cfg, corpus, tmp_path):
     back, sr = read_wav(out)
     assert sr == cfg.data.target_sampling_rate
     assert np.abs(back).max() <= 1.0
+
+    # trainer persisted the config for checkpoint auto-load
+    assert os.path.exists(os.path.join(workdir, "config.json"))
+    vc2 = VoiceConverter.from_checkpoint(workdir, hubert_cfg=TINY_HUBERT)
+    assert vc2.cfg.model.hidden_channels == cfg.model.hidden_channels
+
+    # flow-swap any-to-any conversion, file to file
+    out2 = str(tmp_path / "swapped.wav")
+    swapped = vc.voice_conversion(src, out2, sid_src=0, sid_tgt=1)
+    assert os.path.exists(out2) and len(swapped) > 1000
+    assert np.isfinite(swapped).all()

@@ -49,6 +49,12 @@ class VoiceConverter:
             ),
             static_argnames=("noise_scale",),
         )
+        self._vc = jax.jit(
+            lambda p, spec, lens, s_src, s_tgt, k: gen.apply(
+                {"params": p}, spec, lens, s_src, s_tgt, rng=k,
+                method=SynthesizerSVC.voice_conversion,
+            )
+        )
 
     # ------------------------------------------------------------------ load
     @classmethod
@@ -125,4 +131,40 @@ class VoiceConverter:
         wav, true_len, pitch = self.prepare_source(source_audio, pitch_shift)
         out = self.convert_array(wav, pitch, speaker_id, true_len, noise_scale)
         write_wav(target_audio, out, self.cfg.data.target_sampling_rate, subtype="PCM_24")
+        return out
+
+    # --------------------------------------------------- flow-swap conversion
+    def voice_conversion(
+        self,
+        source_audio: str,
+        target_audio: str,
+        sid_src: int,
+        sid_tgt: int,
+        rng_seed: int = 0,
+    ) -> np.ndarray:
+        """Any-to-any via the posterior+flow swap (synthesizer_svc.py:111-119):
+        enc_q(y, g_src) -> flow fwd (g_src) -> flow rev (g_tgt) -> decoder.
+        The source must be audio OF speaker sid_src; content survives the
+        latent swap while speaker identity is replaced."""
+        from vcvits_tpu.dsp.spectrogram import stft_magnitude
+
+        d = self.cfg.data
+        wav, sr = read_wav(source_audio)
+        wav = resample(wav, sr, d.target_sampling_rate)
+        unit_y = self.unit * d.target_sampling_rate // d.source_sampling_rate
+        true_len = len(wav)
+        padded = int(np.ceil(max(true_len, 1) / unit_y) * unit_y)
+        wav = np.pad(wav, (0, padded - true_len))
+        spec = stft_magnitude(
+            jnp.asarray(wav)[None, :], d.filter_length, d.hop_length, d.win_length
+        )
+        spec_lens = jnp.asarray([true_len // d.hop_length], jnp.int32)
+        o, y_mask, _ = self._vc(
+            self.g_params, spec, spec_lens,
+            jnp.asarray([sid_src], jnp.int32), jnp.asarray([sid_tgt], jnp.int32),
+            jax.random.PRNGKey(rng_seed),
+        )
+        n_valid = int(np.asarray(y_mask)[0].sum()) * d.hop_length
+        out = np.asarray(o)[0, :n_valid, 0]
+        write_wav(target_audio, out, d.target_sampling_rate, subtype="PCM_24")
         return out

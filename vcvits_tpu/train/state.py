@@ -59,6 +59,8 @@ def make_optimizer(cfg: Config, freeze_hubert: bool) -> optax.GradientTransforma
     )
     if cfg.train.grad_clip is not None:
         opt = optax.chain(optax.clip(cfg.train.grad_clip), opt)
+    if cfg.trainer.accumulate_grad_batches > 1:
+        opt = optax.MultiSteps(opt, cfg.trainer.accumulate_grad_batches)
     if freeze_hubert:
         def mask_fn(params):
             return jax.tree_util.tree_map_with_path(

@@ -62,6 +62,14 @@ class Trainer:
                               devices=jax.devices()[:data_axis])
         self.tb = TensorBoardLogger(os.path.join(workdir, "tb"))
         self.ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+        # persist the config next to the checkpoints so inference can
+        # reconstruct the exact graph (reference: Lightning
+        # save_hyperparameters, vcvits.py:31)
+        os.makedirs(workdir, exist_ok=True)
+        import json as _json
+
+        with open(os.path.join(workdir, "config.json"), "w") as f:
+            _json.dump(cfg.to_dict(), f, indent=1)
         self.gen, self.mpd, self.msd = build_models(cfg, dtype=dtype, hubert_cfg=hubert_cfg)
         self._train_step = jax.jit(
             make_train_step(cfg, dtype=dtype, hubert_cfg=hubert_cfg), donate_argnums=(0,)
