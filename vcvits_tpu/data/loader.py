@@ -42,11 +42,6 @@ class BucketedLoader:
         self.buckets = bucket_lengths(cfg)
         self._epoch = 0
 
-    def _item_bucket(self, index: int) -> int:
-        # cheap: duration from the cached source array length
-        item = self.dataset.get_item(index)
-        return pick_bucket(len(item["x_wav"]), self.buckets)
-
     def __len__(self) -> int:
         return len(self.dataset) // self.batch_size
 

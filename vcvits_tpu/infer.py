@@ -49,12 +49,16 @@ class VoiceConverter:
             ),
             static_argnames=("noise_scale",),
         )
-        self._vc = jax.jit(
-            lambda p, spec, lens, s_src, s_tgt, k: gen.apply(
-                {"params": p}, spec, lens, s_src, s_tgt, rng=k,
-                method=SynthesizerSVC.voice_conversion,
-            )
-        )
+        from vcvits_tpu.dsp.spectrogram import stft_magnitude as _stft
+
+        d = cfg.data
+
+        def _vc_fn(p, wav48, lens, s_src, s_tgt, k):
+            spec = _stft(wav48, d.filter_length, d.hop_length, d.win_length)
+            return gen.apply({"params": p}, spec, lens, s_src, s_tgt, rng=k,
+                             method=SynthesizerSVC.voice_conversion)
+
+        self._vc = jax.jit(_vc_fn)  # STFT fused into the same program
 
     # ------------------------------------------------------------------ load
     @classmethod
@@ -146,8 +150,6 @@ class VoiceConverter:
         enc_q(y, g_src) -> flow fwd (g_src) -> flow rev (g_tgt) -> decoder.
         The source must be audio OF speaker sid_src; content survives the
         latent swap while speaker identity is replaced."""
-        from vcvits_tpu.dsp.spectrogram import stft_magnitude
-
         d = self.cfg.data
         wav, sr = read_wav(source_audio)
         wav = resample(wav, sr, d.target_sampling_rate)
@@ -155,12 +157,9 @@ class VoiceConverter:
         true_len = len(wav)
         padded = int(np.ceil(max(true_len, 1) / unit_y) * unit_y)
         wav = np.pad(wav, (0, padded - true_len))
-        spec = stft_magnitude(
-            jnp.asarray(wav)[None, :], d.filter_length, d.hop_length, d.win_length
-        )
         spec_lens = jnp.asarray([true_len // d.hop_length], jnp.int32)
         o, y_mask, _ = self._vc(
-            self.g_params, spec, spec_lens,
+            self.g_params, jnp.asarray(wav)[None, :], spec_lens,
             jnp.asarray([sid_src], jnp.int32), jnp.asarray([sid_tgt], jnp.int32),
             jax.random.PRNGKey(rng_seed),
         )

@@ -131,7 +131,6 @@ class Trainer:
         state = None
         rng = jax.random.PRNGKey(cfg.train.seed)
         t_log = time.perf_counter()
-        steps_done = 0
 
         for epoch in range(cfg.train.max_epochs):
             for batch in prefetch(train_loader.epoch_batches(epoch)):
@@ -143,7 +142,6 @@ class Trainer:
                 rng, step_rng = jax.random.split(rng)
                 sharded = shard_batch(batch, self.mesh)
                 state, metrics = self._train_step(state, sharded, step_rng)
-                steps_done += 1
                 step_no = int(state.step)
 
                 if step_no % cfg.train.log_interval == 0:
