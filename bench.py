@@ -6,6 +6,10 @@ encoder, flow, in-repo HiFi-GAN decoder) on the real TPU chip and reports
 the median RTF (seconds of 48 kHz audio produced per wall-clock second) for
 single-utterance conversion of 10 s clips.
 
+Timing is honest under the axon TPU tunnel: each iteration consumes a
+scalar reduction of the output (device->host round trip), because
+block_until_ready alone returns before remote execution completes there.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is vs the BASELINE.md north-star target of >= 20x real time
 per chip (the reference publishes no numbers of its own — SURVEY.md §6).
@@ -27,7 +31,9 @@ def main() -> None:
     from vcvits_tpu.models.synthesizer import SynthesizerSVC
 
     cfg = Config()
-    model = SynthesizerSVC.from_config(cfg)
+    # bf16 compute: the production serving configuration (the reference
+    # trains/serves fp16 AMP — configs/48k_base.json fp16_run: true).
+    model = SynthesizerSVC.from_config(cfg, dtype=jnp.bfloat16)
 
     dur_s = 10.0
     t_wav = int(16000 * dur_s) // 2560 * 2560
@@ -49,12 +55,17 @@ def main() -> None:
     )(key)
     jax.block_until_ready(params)
 
-    infer = jax.jit(lambda p, w, l, pi, s, k: model.apply(
-        p, w, l, pi, s, rng=k, method=SynthesizerSVC.infer))
+    def infer_fn(p, w, l, pi, s, k):
+        o, y_mask, _ = model.apply(p, w, l, pi, s, rng=k,
+                                   method=SynthesizerSVC.infer)
+        # scalar digest forces full execution before the host sees a value
+        return o, jnp.mean(jnp.abs(o.astype(jnp.float32)))
 
-    # warmup/compile
-    o, _, _ = infer(params, wav0, x_lens, pitch0, sid, key)
-    o.block_until_ready()
+    infer = jax.jit(infer_fn)
+
+    # warmup/compile (digest fetch included)
+    o, digest = infer(params, wav0, x_lens, pitch0, sid, key)
+    float(digest)
     audio_seconds = o.shape[1] / cfg.data.target_sampling_rate
 
     rtfs = []
@@ -63,8 +74,8 @@ def main() -> None:
         k = jax.random.PRNGKey(i + 1)
         jax.block_until_ready((wav, pitch))
         t0 = time.perf_counter()
-        o, _, _ = infer(params, wav, x_lens, pitch, sid, k)
-        o.block_until_ready()
+        _, digest = infer(params, wav, x_lens, pitch, sid, k)
+        float(digest)  # device->host sync on a 4-byte scalar
         rtfs.append(audio_seconds / (time.perf_counter() - t0))
 
     value = float(np.median(rtfs))
