@@ -20,6 +20,12 @@ from __future__ import annotations
 import json
 import time
 
+import os
+
+# persistent XLA compile cache: repeat runs skip the (minutes-long) compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/vcvits_tpu_xla"))
+
 import numpy as np
 
 

@@ -13,6 +13,12 @@ from __future__ import annotations
 import argparse
 import logging
 
+import os
+
+# persistent XLA compile cache: repeat runs skip the (minutes-long) compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/vcvits_tpu_xla"))
+
 
 def main() -> None:
     parser = argparse.ArgumentParser()

@@ -16,6 +16,12 @@ import dataclasses
 import logging
 import os
 
+import os
+
+# persistent XLA compile cache: repeat runs skip the (minutes-long) compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/vcvits_tpu_xla"))
+
 
 def main() -> None:
     parser = argparse.ArgumentParser()
