@@ -55,7 +55,10 @@ class VoiceConversionDataset:
         os.replace(tmp, path)
         return value
 
-    def get_item(self, index: int) -> Dict[str, np.ndarray]:
+    def get_item(self, index: int, pitch_shift: int = 0) -> Dict[str, np.ndarray]:
+        """pitch_shift (semitones) enables the Preload path's augmentation
+        capability (preload_vc_ms.py:38-57: random ±12 st with p=0.7);
+        shifted variants are cached separately like the reference's."""
         path, sid = self.items[index]
         cfg = self.cfg
         src_sr, tgt_sr = cfg.source_sampling_rate, cfg.target_sampling_rate
@@ -69,16 +72,25 @@ class VoiceConversionDataset:
                 audio_holder["sr"] = np.int64(sr)
             return audio_holder["wav"]
 
+        shift_tag = f"_ps{pitch_shift}" if pitch_shift else ""
+
+        def shifted(wav: np.ndarray, sr: int) -> np.ndarray:
+            if pitch_shift:
+                from vcvits_tpu.dsp.pitch_shift import pitch_shift as _ps
+
+                return _ps(wav, sr, pitch_shift)
+            return wav
+
         x_wav = self._cached(
-            f"{path}_{src_sr}",
-            lambda: resample(load(), int(audio_holder["sr"]), src_sr),
+            f"{path}_{src_sr}{shift_tag}",
+            lambda: shifted(resample(load(), int(audio_holder["sr"]), src_sr), src_sr),
         )
         y_wav = self._cached(
-            f"{path}_{tgt_sr}",
-            lambda: resample(load(), int(audio_holder["sr"]), tgt_sr),
+            f"{path}_{tgt_sr}{shift_tag}",
+            lambda: shifted(resample(load(), int(audio_holder["sr"]), tgt_sr), tgt_sr),
         )
         pitch_key = (
-            f"{path}_{cfg.filter_length}_{cfg.win_length}_{cfg.num_pitch}_{src_sr}"
+            f"{path}_{cfg.filter_length}_{cfg.win_length}_{cfg.num_pitch}_{src_sr}{shift_tag}"
         )
         x_pitch = self._cached(
             pitch_key,

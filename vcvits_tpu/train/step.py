@@ -163,9 +163,15 @@ def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None):
         def d_loss_fn(d_params):
             p_lr, p_lg, _, _ = mpd.apply({"params": d_params["mpd"]}, y_seg, y_hat_sg)
             s_lr, s_lg, _, _ = msd.apply({"params": d_params["msd"]}, y_seg, y_hat_sg)
-            loss_p, _, _ = discriminator_loss(p_lr, p_lg)
-            loss_s, _, _ = discriminator_loss(s_lr, s_lg)
-            return loss_p + loss_s, {"loss/d/p": loss_p, "loss/d/s": loss_s}
+            loss_p, p_r, p_g = discriminator_loss(p_lr, p_lg)
+            loss_s, s_r, s_g = discriminator_loss(s_lr, s_lg)
+            aux_d = {"loss/d/p": loss_p, "loss/d/s": loss_s}
+            # per-sub-discriminator real/gen terms (vcvits.py:166-181)
+            aux_d.update({f"loss/d_p_r/{i}": v for i, v in enumerate(p_r)})
+            aux_d.update({f"loss/d_p_g/{i}": v for i, v in enumerate(p_g)})
+            aux_d.update({f"loss/d_s_r/{i}": v for i, v in enumerate(s_r)})
+            aux_d.update({f"loss/d_s_g/{i}": v for i, v in enumerate(s_g)})
+            return loss_p + loss_s, aux_d
 
         (loss_d, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
         grad_norm_d = optax.global_norm(d_grads)
