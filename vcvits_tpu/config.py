@@ -61,7 +61,10 @@ class TrainConfig:
     c_kl: float = 1.0
     # TPU-specific additions (not present in reference):
     checkpoint_interval: int = 2000  # reference: ModelCheckpoint every_n_train_steps=2000 (train.py:88)
-    steps_per_epoch: int = 1000  # granularity of per-epoch ExponentialLR when epochs are implicit
+    # None = derive from the actual loader (len(dataset)//batch) at trainer
+    # build, matching the reference's true per-epoch ExponentialLR
+    # (vcvits.py:247-263); set explicitly to override.
+    steps_per_epoch: Optional[int] = None
     grad_clip: Optional[float] = None  # reference measures but never clips (commons.py:145-160)
 
 

@@ -290,3 +290,22 @@ def coarse_f0(
     out = np.round(f0_mel).astype(np.int64)
     assert out.max(initial=1) < f0_bin and out.min(initial=1) >= 1
     return out
+
+
+def normalize_pitch(
+    pitch: np.ndarray, mean: np.ndarray, std: np.ndarray
+) -> np.ndarray:
+    """Per-formant pitch z-normalization that preserves unvoiced zeros.
+
+    Parity with /root/reference/vits/data/audio.py:17-22 (unused in the
+    reference's default call path; provided for API completeness). `pitch`
+    is [n_formants, T]; mean/std are per-formant scalars, broadcast over T.
+    """
+    pitch = np.array(pitch, dtype=np.float32, copy=True)
+    mean = np.asarray(mean, dtype=np.float32).reshape(-1, 1)
+    std = np.asarray(std, dtype=np.float32).reshape(-1, 1)
+    zeros = pitch == 0.0
+    pitch -= mean
+    pitch /= std
+    pitch[zeros] = 0.0
+    return pitch

@@ -38,6 +38,7 @@ class DiscriminatorP(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    use_spectral_norm: bool = False  # discriminator.py:17 norm_f selection
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -52,18 +53,22 @@ class DiscriminatorP(nn.Module):
 
         fmap: FeatureMaps = []
         kp = (self.kernel_size - 1) // 2
+        wn, sn = not self.use_spectral_norm, self.use_spectral_norm
         for i, ch in enumerate([32, 128, 512, 1024]):
             x = Conv2dNorm(ch, (self.kernel_size, 1), strides=(self.stride, 1),
-                           padding=((kp, kp), (0, 0)), dtype=self.dtype,
+                           padding=((kp, kp), (0, 0)), weight_norm=wn,
+                           spectral_norm=sn, dtype=self.dtype,
                            name=f"conv_{i}")(x)
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         x = Conv2dNorm(1024, (self.kernel_size, 1), strides=(1, 1),
-                       padding=((kp, kp), (0, 0)), dtype=self.dtype, name="conv_4")(x)
+                       padding=((kp, kp), (0, 0)), weight_norm=wn,
+                       spectral_norm=sn, dtype=self.dtype, name="conv_4")(x)
         x = leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
         x = Conv2dNorm(1, (3, 1), strides=(1, 1), padding=((1, 1), (0, 0)),
-                       dtype=self.dtype, name="conv_post")(x)
+                       weight_norm=wn, spectral_norm=sn, dtype=self.dtype,
+                       name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -71,6 +76,7 @@ class DiscriminatorP(nn.Module):
 class DiscriminatorS(nn.Module):
     """Scale head: grouped 1-D conv stack (kernels 15/41/5, groups up to 256)."""
 
+    use_spectral_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -86,13 +92,14 @@ class DiscriminatorS(nn.Module):
             (1024, 41, 4, 256, 20),
             (1024, 5, 1, 1, 2),
         ]
+        wn, sn = not self.use_spectral_norm, self.use_spectral_norm
         for i, (f, k, s, g, p) in enumerate(specs):
-            x = Conv1d(f, k, stride=s, groups=g, padding=(p, p), weight_norm=True,
-                       dtype=self.dtype, name=f"conv_{i}")(x)
+            x = Conv1d(f, k, stride=s, groups=g, padding=(p, p), weight_norm=wn,
+                       spectral_norm=sn, dtype=self.dtype, name=f"conv_{i}")(x)
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = Conv1d(1, 3, padding=(1, 1), weight_norm=True, dtype=self.dtype,
-                   name="conv_post")(x)
+        x = Conv1d(1, 3, padding=(1, 1), weight_norm=wn, spectral_norm=sn,
+                   dtype=self.dtype, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -110,14 +117,18 @@ class MultiPeriodDiscriminator(nn.Module):
     scale head inside MPD — multi_period_discriminator.py:12-14)."""
 
     periods: Sequence[int] = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+    use_spectral_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, y: jax.Array, y_hat: jax.Array):
         logits_r, logits_g, fmaps_r, fmaps_g = [], [], [], []
-        heads = [DiscriminatorS(dtype=self.dtype, name="disc_s")]
+        heads = [DiscriminatorS(use_spectral_norm=self.use_spectral_norm,
+                                dtype=self.dtype, name="disc_s")]
         heads += [
-            DiscriminatorP(p, dtype=self.dtype, name=f"disc_p{p}") for p in self.periods
+            DiscriminatorP(p, use_spectral_norm=self.use_spectral_norm,
+                           dtype=self.dtype, name=f"disc_p{p}")
+            for p in self.periods
         ]
         for head in heads:
             lr, fr = head(y)
@@ -133,6 +144,7 @@ class MultiScaleDiscriminator(nn.Module):
     """5 scale heads on a 2x avg-pool cascade (multi_scale_discriminator.py:10-43)."""
 
     n_scales: int = 5
+    use_spectral_norm: bool = False  # applies to the first (full-rate) head only
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -142,7 +154,9 @@ class MultiScaleDiscriminator(nn.Module):
             if i != 0:
                 y = _avg_pool_4_2(y)
                 y_hat = _avg_pool_4_2(y_hat)
-            head = DiscriminatorS(dtype=self.dtype, name=f"disc_{i}")
+            head = DiscriminatorS(
+                use_spectral_norm=self.use_spectral_norm and i == 0,
+                dtype=self.dtype, name=f"disc_{i}")
             lr, fr = head(y)
             lg, fg = head(y_hat)
             logits_r.append(lr)

@@ -74,6 +74,29 @@ def _norm_except_last(v: jax.Array) -> jax.Array:
     return jnp.sqrt(sq)
 
 
+def spectral_normalize(kernel: jax.Array, n_iter: int = 3) -> jax.Array:
+    """kernel / sigma_max, the torch.nn.utils.spectral_norm parametrization
+    (discriminator.py:17: norm_f = spectral_norm when use_spectral_norm).
+
+    Torch amortizes one power iteration per forward through a persistent `u`
+    buffer; here the estimate is recomputed purely with `n_iter` iterations
+    from a fixed start vector, so the op stays a pure function (no mutable
+    collections threading through the jitted GAN step). The trailing axis is
+    the output-channel axis; sigma_max is reshape/transpose-invariant so the
+    [k, ..., out] flattening matches torch's [out, -1] view.
+    """
+    out = kernel.shape[-1]
+    w = kernel.reshape(-1, out).astype(jnp.float32)
+    u = jnp.full((out,), 1.0 / jnp.sqrt(float(out)), jnp.float32)
+    for _ in range(n_iter):
+        v = w @ u
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+        u = w.T @ v
+        u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+    sigma = v @ (w @ u)
+    return (kernel / jnp.maximum(sigma, 1e-12)).astype(kernel.dtype)
+
+
 class Conv1d(nn.Module):
     """1-D convolution in NHC layout with torch Conv1d semantics.
 
@@ -91,6 +114,7 @@ class Conv1d(nn.Module):
     padding: object = "same"  # "same" | "valid" | (lo, hi)
     use_bias: bool = True
     weight_norm: bool = False
+    spectral_norm: bool = False
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
     dtype: Dtype = jnp.float32
@@ -99,7 +123,10 @@ class Conv1d(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
         kshape = (self.kernel_size, in_ch // self.groups, self.features)
-        if self.weight_norm:
+        if self.spectral_norm:
+            v = self.param("v", self.kernel_init, kshape, jnp.float32)
+            kernel = spectral_normalize(v).astype(self.dtype)
+        elif self.weight_norm:
             v = self.param("v", self.kernel_init, kshape, jnp.float32)
             g = self.param("g", lambda rng, shape: _norm_except_last(self.kernel_init(rng, kshape)).reshape(shape), (1, 1, self.features))
             kernel = (g * v / jnp.maximum(_norm_except_last(v), 1e-12)).astype(self.dtype)
@@ -188,6 +215,7 @@ class Conv2dNorm(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     padding: Tuple[Tuple[int, int], Tuple[int, int]] = ((0, 0), (0, 0))
     weight_norm: bool = True
+    spectral_norm: bool = False
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Dtype = jnp.float32
 
@@ -195,7 +223,10 @@ class Conv2dNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
         kshape = (*self.kernel_size, in_ch, self.features)
-        if self.weight_norm:
+        if self.spectral_norm:
+            v = self.param("v", self.kernel_init, kshape, jnp.float32)
+            kernel = spectral_normalize(v).astype(self.dtype)
+        elif self.weight_norm:
             v = self.param("v", self.kernel_init, kshape, jnp.float32)
             g = self.param("g", lambda rng, shape: _norm_except_last(self.kernel_init(rng, kshape)).reshape(shape), (1, 1, 1, self.features))
             kernel = (g * v / jnp.maximum(_norm_except_last(v), 1e-12)).astype(self.dtype)

@@ -10,9 +10,13 @@ character is in the symbol set) and Chinese raises a clear error.
 
 from __future__ import annotations
 
+import logging
 import re
-import unicodedata
 from typing import List
+
+from vcvits_tpu.text.translit import to_ascii
+
+logger = logging.getLogger(__name__)
 
 _whitespace_re = re.compile(r"\s+")
 
@@ -72,9 +76,9 @@ def collapse_dot(text: str) -> str:
 
 
 def convert_to_ascii(text: str) -> str:
-    """Accent-stripping transliteration (the reference uses unidecode)."""
-    nfkd = unicodedata.normalize("NFKD", text)
-    return "".join(c for c in nfkd if ord(c) < 128)
+    """Transliteration to ASCII (the reference uses unidecode,
+    cleaners.py:17-18): kana -> Hepburn romaji + Latin accent stripping."""
+    return to_ascii(text)
 
 
 def basic_cleaners(text: str) -> str:
@@ -83,6 +87,9 @@ def basic_cleaners(text: str) -> str:
 
 def transliteration_cleaners(text: str) -> str:
     return collapse_whitespace(lowercase(convert_to_ascii(text)))
+
+
+_warned_no_phonemizer = False
 
 
 def _phonemize_espeak(text: str, with_stress: bool = False) -> str:
@@ -94,6 +101,21 @@ def _phonemize_espeak(text: str, with_stress: bool = False) -> str:
     )
 
 
+def _phonemize_or_graphemes(text: str, with_stress: bool = False) -> str:
+    """espeak IPA when available; loud (once) grapheme fallback otherwise."""
+    global _warned_no_phonemizer
+    try:
+        return _phonemize_espeak(text, with_stress)
+    except Exception as e:
+        if not _warned_no_phonemizer:
+            _warned_no_phonemizer = True
+            logger.warning(
+                "phonemizer/espeak unavailable (%s); english_cleaners is "
+                "falling back to grapheme input", e,
+            )
+        return text
+
+
 def english_cleaners(text: str) -> str:
     """English: abbreviation/number expansion + espeak IPA when available,
     grapheme fallback otherwise (all outputs stay inside the symbol set)."""
@@ -101,10 +123,7 @@ def english_cleaners(text: str) -> str:
     text = lowercase(text)
     text = expand_abbreviations(text)
     text = expand_numbers(text)
-    try:
-        text = _phonemize_espeak(text)
-    except Exception:
-        pass  # grapheme fallback
+    text = _phonemize_or_graphemes(text)
     return collapse_whitespace(text)
 
 
@@ -113,10 +132,7 @@ def english_cleaners2(text: str) -> str:
     text = lowercase(text)
     text = expand_abbreviations(text)
     text = expand_numbers(text)
-    try:
-        text = _phonemize_espeak(text, with_stress=True)
-    except Exception:
-        pass
+    text = _phonemize_or_graphemes(text, with_stress=True)
     return collapse_whitespace(text)
 
 

@@ -12,7 +12,7 @@ allocated for ~95M frozen params.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, Optional
 
 import flax
 import jax
@@ -31,11 +31,24 @@ class GANTrainState:
     d_opt_state: Any
 
 
-def exponential_epoch_schedule(cfg: Config) -> Callable[[jax.Array], jax.Array]:
-    """lr = lr0 * lr_decay^epoch, stepped per epoch like torch ExponentialLR."""
+def resolve_steps_per_epoch(cfg: Config, steps_per_epoch: Optional[int] = None) -> int:
+    """cfg.train.steps_per_epoch overrides; else the value derived from the
+    loader (len(dataset)//batch_size); else a documented 1000-step fallback."""
+    if cfg.train.steps_per_epoch is not None:
+        return max(int(cfg.train.steps_per_epoch), 1)
+    if steps_per_epoch is not None:
+        return max(int(steps_per_epoch), 1)
+    return 1000
+
+
+def exponential_epoch_schedule(
+    cfg: Config, steps_per_epoch: Optional[int] = None
+) -> Callable[[jax.Array], jax.Array]:
+    """lr = lr0 * lr_decay^epoch, stepped per true dataset epoch like torch
+    ExponentialLR in the reference (vcvits.py:247-263)."""
     lr0 = cfg.train.learning_rate
     gamma = cfg.train.lr_decay
-    spe = max(cfg.train.steps_per_epoch, 1)
+    spe = resolve_steps_per_epoch(cfg, steps_per_epoch)
 
     def schedule(step):
         epoch = jnp.asarray(step, jnp.float32) // spe
@@ -48,8 +61,10 @@ def _is_frozen_path(path) -> bool:
     return any(getattr(p, "key", None) == "hubert" for p in path)
 
 
-def make_optimizer(cfg: Config, freeze_hubert: bool) -> optax.GradientTransformation:
-    schedule = exponential_epoch_schedule(cfg)
+def make_optimizer(
+    cfg: Config, freeze_hubert: bool, steps_per_epoch: Optional[int] = None
+) -> optax.GradientTransformation:
+    schedule = exponential_epoch_schedule(cfg, steps_per_epoch)
     opt = optax.adamw(
         learning_rate=schedule,
         b1=cfg.train.betas[0],
@@ -71,11 +86,14 @@ def make_optimizer(cfg: Config, freeze_hubert: bool) -> optax.GradientTransforma
 
 
 def create_train_state(cfg: Config, g_params, d_params,
-                       freeze_hubert: bool = True) -> GANTrainState:
+                       freeze_hubert: bool = True,
+                       steps_per_epoch: Optional[int] = None) -> GANTrainState:
     """freeze_hubert=True for the VC path (frozen content encoder);
     False for the TTS path (no HuBERT in the graph)."""
-    g_opt = make_optimizer(cfg, freeze_hubert=freeze_hubert)
-    d_opt = make_optimizer(cfg, freeze_hubert=False)
+    g_opt = make_optimizer(cfg, freeze_hubert=freeze_hubert,
+                           steps_per_epoch=steps_per_epoch)
+    d_opt = make_optimizer(cfg, freeze_hubert=False,
+                           steps_per_epoch=steps_per_epoch)
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_params,

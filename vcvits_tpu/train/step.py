@@ -76,7 +76,8 @@ def init_params(cfg: Config, rng: jax.Array, batch: Dict[str, jax.Array],
     return _init(rng)
 
 
-def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None):
+def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None,
+                    steps_per_epoch=None):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch (all padded to static bucket shapes):
@@ -84,9 +85,9 @@ def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None):
       y_wav [B, Ty] fp32 @48k, y_wav_lengths [B], sid [B] int.
     """
     gen, mpd, msd = build_models(cfg, dtype=dtype, hubert_cfg=hubert_cfg)
-    g_opt = make_optimizer(cfg, freeze_hubert=True)
-    d_opt = make_optimizer(cfg, freeze_hubert=False)
-    schedule = exponential_epoch_schedule(cfg)
+    g_opt = make_optimizer(cfg, freeze_hubert=True, steps_per_epoch=steps_per_epoch)
+    d_opt = make_optimizer(cfg, freeze_hubert=False, steps_per_epoch=steps_per_epoch)
+    schedule = exponential_epoch_schedule(cfg, steps_per_epoch)
 
     d = cfg.data
     hop = d.hop_length

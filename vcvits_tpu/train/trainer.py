@@ -71,9 +71,10 @@ class Trainer:
         with open(os.path.join(workdir, "config.json"), "w") as f:
             _json.dump(cfg.to_dict(), f, indent=1)
         self.gen, self.mpd, self.msd = build_models(cfg, dtype=dtype, hubert_cfg=hubert_cfg)
-        self._train_step = jax.jit(
-            make_train_step(cfg, dtype=dtype, hubert_cfg=hubert_cfg), donate_argnums=(0,)
-        )
+        # steps_per_epoch (for the per-epoch ExponentialLR) is derived from
+        # the actual loader at fit() time; the jitted step is built lazily.
+        self._steps_per_epoch: Optional[int] = cfg.train.steps_per_epoch
+        self._train_step = None
         self._infer = jax.jit(
             lambda p, w, l, pi, s, k: self.gen.apply(
                 {"params": p}, w, l, pi, s, rng=k, method=SynthesizerSVC.infer
@@ -81,6 +82,19 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------ setup
+    def _ensure_train_step(self, steps_per_epoch: Optional[int]):
+        """Build the jitted GAN step once steps_per_epoch is known
+        (true-epoch ExponentialLR parity with vcvits.py:247-263)."""
+        if self._train_step is None:
+            self._steps_per_epoch = self._steps_per_epoch or steps_per_epoch
+            self._train_step = jax.jit(
+                make_train_step(self.cfg, dtype=self.dtype,
+                                hubert_cfg=self.hubert_cfg,
+                                steps_per_epoch=self._steps_per_epoch),
+                donate_argnums=(0,),
+            )
+        return self._train_step
+
     def init_state(self, example_batch: Dict[str, np.ndarray]):
         batch = {k: jnp.asarray(v) for k, v in example_batch.items()}
         g_params, d_params = init_params(
@@ -91,7 +105,8 @@ class Trainer:
             g_params["enc_p"]["hubert"] = jax.tree.map(
                 jnp.asarray, self.hubert_params
             )
-        state = create_train_state(self.cfg, g_params, d_params)
+        state = create_train_state(self.cfg, g_params, d_params,
+                                   steps_per_epoch=self._steps_per_epoch)
         return shard_replicated(state, self.mesh)
 
     def resume_or_init(self, example_batch):
@@ -128,6 +143,8 @@ class Trainer:
             except FileNotFoundError:
                 val_loader = None
 
+        train_step = self._ensure_train_step(max(len(train_loader), 1))
+
         state = None
         rng = jax.random.PRNGKey(cfg.train.seed)
         t_log = time.perf_counter()
@@ -141,7 +158,7 @@ class Trainer:
                     return self._finish(state, step_no)
                 rng, step_rng = jax.random.split(rng)
                 sharded = shard_batch(batch, self.mesh)
-                state, metrics = self._train_step(state, sharded, step_rng)
+                state, metrics = train_step(state, sharded, step_rng)
                 step_no = int(state.step)
 
                 if step_no % cfg.train.log_interval == 0:

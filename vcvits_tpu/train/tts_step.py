@@ -96,11 +96,12 @@ def init_tts_params(cfg: Config, rng: jax.Array, batch: Dict, dtype=jnp.float32,
     return _init(rng)
 
 
-def make_tts_train_step(cfg: Config, dtype=jnp.float32, n_vocab: int = None):
+def make_tts_train_step(cfg: Config, dtype=jnp.float32, n_vocab: int = None,
+                        steps_per_epoch=None):
     gen, mpd, msd = build_tts_models(cfg, dtype=dtype, n_vocab=n_vocab)
-    g_opt = make_optimizer(cfg, freeze_hubert=False)
-    d_opt = make_optimizer(cfg, freeze_hubert=False)
-    schedule = exponential_epoch_schedule(cfg)
+    g_opt = make_optimizer(cfg, freeze_hubert=False, steps_per_epoch=steps_per_epoch)
+    d_opt = make_optimizer(cfg, freeze_hubert=False, steps_per_epoch=steps_per_epoch)
+    schedule = exponential_epoch_schedule(cfg, steps_per_epoch)
     d = cfg.data
     hop = d.hop_length
     seg_frames = cfg.train.segment_size // hop

@@ -45,10 +45,13 @@ class TensorBoardLogger:
         self,
         global_step: int,
         scalars: Optional[Dict[str, float]] = None,
+        histograms: Optional[Dict[str, np.ndarray]] = None,
         images: Optional[Dict[str, np.ndarray]] = None,
         audios: Optional[Dict[str, np.ndarray]] = None,
         audio_sampling_rate: int = 48000,
     ) -> None:
+        """Scalars / histograms / images / audio in one call — the reference
+        utils.summarize signature (utils.py:61-69)."""
         if self._writer is None:
             if scalars:
                 parts = " ".join(f"{k}={float(v):.4g}" for k, v in scalars.items())
@@ -56,6 +59,8 @@ class TensorBoardLogger:
             return
         for k, v in (scalars or {}).items():
             self._writer.add_scalar(k, float(v), global_step)
+        for k, v in (histograms or {}).items():
+            self._writer.add_histogram(k, np.asarray(v), global_step)
         for k, v in (images or {}).items():
             self._writer.add_image(k, v, global_step)
         for k, v in (audios or {}).items():
