@@ -1,16 +1,19 @@
 #!/usr/bin/env python
-"""Benchmark: real-time factor of full-pipeline 48 kHz any-to-any conversion.
+"""Benchmark suite: the full BASELINE.md metric set on the real TPU chip.
 
-Runs the flagship SynthesizerSVC (full 48k config: HuBERT-base content
-encoder, flow, in-repo HiFi-GAN decoder) on the real TPU chip and reports
-the median RTF (seconds of 48 kHz audio produced per wall-clock second) for
-single-utterance conversion of 10 s clips.
+Reports, in one JSON line (headline metric = single-utterance RTF, the
+BASELINE north star; the rest ride in "extra"):
+  * rtf_48k  — real-time factor, 1 x 10 s any-to-any conversion, bf16
+  * batched_utt_per_s — converted 10 s utterances/sec/chip at the largest
+    measured batch (decoder runs the space-to-depth folded tail)
+  * train_steps_per_s — full jitted GAN step (G+D update), bf16
+  * mfu — model FLOP utilization of the inference forward: XLA-reported
+    analytic FLOPs / measured time / chip peak (TPU v5e bf16 ~197 TFLOP/s)
 
-Timing is honest under the axon TPU tunnel: each iteration consumes a
+Timing is honest under the axon TPU tunnel: every iteration consumes a
 scalar reduction of the output (device->host round trip), because
 block_until_ready alone returns before remote execution completes there.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is vs the BASELINE.md north-star target of >= 20x real time
 per chip (the reference publishes no numbers of its own — SURVEY.md §6).
 """
@@ -18,15 +21,15 @@ per chip (the reference publishes no numbers of its own — SURVEY.md §6).
 from __future__ import annotations
 
 import json
+import os
 import time
 
-import os
-
-# persistent XLA compile cache: repeat runs skip the (minutes-long) compiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/vcvits_tpu_xla"))
 
 import numpy as np
+
+V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e (lite) peak bf16 FLOP/s
 
 
 def main() -> None:
@@ -43,20 +46,19 @@ def main() -> None:
 
     dur_s = 10.0
     t_wav = int(16000 * dur_s) // 2560 * 2560
-    g = np.random.default_rng(0)
-    x_lens = jnp.array([t_wav], dtype=jnp.int32)
-    sid = jnp.array([3], dtype=jnp.int32)
+    x_lens1 = jnp.array([t_wav], dtype=jnp.int32)
+    sid1 = jnp.array([3], dtype=jnp.int32)
 
-    def make_inputs(seed):
+    def make_inputs(seed, batch):
         r = np.random.default_rng(seed)
-        wav = jnp.asarray(r.standard_normal((1, t_wav)).astype(np.float32) * 0.05)
-        pitch = jnp.asarray(r.integers(1, cfg.model.num_pitch, (1, t_wav // 320)))
+        wav = jnp.asarray(r.standard_normal((batch, t_wav)).astype(np.float32) * 0.05)
+        pitch = jnp.asarray(r.integers(1, cfg.model.num_pitch, (batch, t_wav // 320)))
         return wav, pitch
 
     key = jax.random.PRNGKey(0)
-    wav0, pitch0 = make_inputs(0)
+    wav0, pitch0 = make_inputs(0, 1)
     params = jax.jit(
-        lambda k: model.init({"params": k, "sample": k}, wav0, x_lens, pitch0, sid,
+        lambda k: model.init({"params": k, "sample": k}, wav0, x_lens1, pitch0, sid1,
                              method=SynthesizerSVC.infer)
     )(key)
     jax.block_until_ready(params)
@@ -69,28 +71,108 @@ def main() -> None:
 
     infer = jax.jit(infer_fn)
 
-    # warmup/compile (digest fetch included)
-    o, digest = infer(params, wav0, x_lens, pitch0, sid, key)
+    # ---- 1) single-utterance RTF + MFU --------------------------------
+    o, digest = infer(params, wav0, x_lens1, pitch0, sid1, key)
     float(digest)
     audio_seconds = o.shape[1] / cfg.data.target_sampling_rate
 
-    rtfs = []
+    times = []
     for i in range(20):
-        wav, pitch = make_inputs(i + 1)
+        wav, pitch = make_inputs(i + 1, 1)
         k = jax.random.PRNGKey(i + 1)
         jax.block_until_ready((wav, pitch))
         t0 = time.perf_counter()
-        _, digest = infer(params, wav, x_lens, pitch, sid, k)
+        _, digest = infer(params, wav, x_lens1, pitch, sid1, k)
         float(digest)  # device->host sync on a 4-byte scalar
-        rtfs.append(audio_seconds / (time.perf_counter() - t0))
+        times.append(time.perf_counter() - t0)
+    t1 = float(np.median(times))
+    rtf = audio_seconds / t1
 
-    value = float(np.median(rtfs))
-    print(json.dumps({
+    # MFU from XLA's own cost model for the compiled single-utterance fwd
+    mfu = None
+    try:
+        cost = infer.lower(params, wav0, x_lens1, pitch0, sid1, key)\
+                    .compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops / t1 / V5E_BF16_PEAK_FLOPS
+    except Exception:
+        pass
+
+    # ---- 2) batched throughput (utterances/sec/chip) ------------------
+    batched = {}
+    for batch in (8, 16):
+        wavb, pitchb = make_inputs(0, batch)
+        lensb = jnp.full((batch,), t_wav, jnp.int32)
+        sidb = jnp.arange(batch, dtype=jnp.int32) % cfg.data.n_speakers
+        try:
+            _, digest = infer(params, wavb, lensb, pitchb, sidb, key)
+            float(digest)
+        except Exception:
+            break
+        ts = []
+        for i in range(5):
+            k = jax.random.PRNGKey(100 + i)
+            t0 = time.perf_counter()
+            _, digest = infer(params, wavb, lensb, pitchb, sidb, k)
+            float(digest)
+            ts.append(time.perf_counter() - t0)
+        med = float(np.median(ts))
+        batched[batch] = {"utt_per_s": round(batch / med, 2),
+                          "rtf_aggregate": round(batch * audio_seconds / med, 1)}
+    best_batch = max(batched) if batched else 1
+    utt_per_s = batched.get(best_batch, {}).get("utt_per_s", round(1.0 / t1, 2))
+
+    # ---- 3) train steps/s (full GAN step, bf16) ------------------------
+    train_sps = None
+    try:
+        from vcvits_tpu.train.state import create_train_state
+        from vcvits_tpu.train.step import init_params, make_train_step
+
+        tb, tsec = 8, 4.0
+        txw = int(16000 * tsec) // 2560 * 2560
+        tyw = txw * 3
+        r = np.random.default_rng(7)
+        batch = {
+            "x_wav": jnp.asarray(r.standard_normal((tb, txw)).astype(np.float32) * 0.05),
+            "x_wav_lengths": jnp.full((tb,), txw, jnp.int32),
+            "x_pitch": jnp.asarray(r.integers(1, cfg.model.num_pitch, (tb, txw // 320))),
+            "y_wav": jnp.asarray(r.standard_normal((tb, tyw)).astype(np.float32) * 0.05),
+            "y_wav_lengths": jnp.full((tb,), tyw, jnp.int32),
+            "sid": jnp.arange(tb, dtype=jnp.int32),
+        }
+        gp, dp = init_params(cfg, jax.random.PRNGKey(1), batch, dtype=jnp.bfloat16)
+        state = create_train_state(cfg, gp, dp, steps_per_epoch=1000)
+        step = jax.jit(make_train_step(cfg, dtype=jnp.bfloat16, steps_per_epoch=1000),
+                       donate_argnums=(0,))
+        state, metrics = step(state, batch, jax.random.PRNGKey(2))
+        float(metrics["loss/g/total"])  # sync
+        ts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            state, metrics = step(state, batch, jax.random.PRNGKey(3 + i))
+            float(metrics["loss/g/total"])
+            ts.append(time.perf_counter() - t0)
+        train_sps = round(1.0 / float(np.median(ts)), 2)
+    except Exception:
+        pass
+
+    out = {
         "metric": "rtf_48k_any_to_any_conversion",
-        "value": round(value, 1),
+        "value": round(rtf, 1),
         "unit": "x_realtime_per_chip",
-        "vs_baseline": round(value / 20.0, 2),
-    }))
+        "vs_baseline": round(rtf / 20.0, 2),
+        "extra": {
+            "batched_utt_per_s_chip": utt_per_s,
+            "batched_detail_10s_bf16": batched,
+            "train_steps_per_s_b8_4s_bf16": train_sps,
+            "mfu_infer_bf16": round(mfu, 4) if mfu else None,
+            "decoder_fold_tail": True,
+        },
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ TPU design notes:
 
 from __future__ import annotations
 
+import math as _math
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -33,29 +34,38 @@ from vcvits_tpu.models.layers import (
     leaky_relu,
     normal_init,
 )
+from vcvits_tpu.ops.folded_conv import refold_time, unfold_time
 
 
 class ResBlock1(nn.Module):
-    """MRF residual block, 3 dilated + 3 plain convs (modules.py:186-216)."""
+    """MRF residual block, 3 dilated + 3 plain convs (modules.py:186-216).
+
+    fold > 1 runs the whole block in time-folded [B, T/fold, fold*C] layout
+    (ops/folded_conv.py) — identical params and outputs, >=128 effective
+    lanes on the low-channel tail stages."""
 
     channels: int
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3, 5)
+    fold: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, x_mask: Optional[jax.Array] = None) -> jax.Array:
+        assert self.fold == 1 or x_mask is None, "folded ResBlock is mask-free"
         for i, d in enumerate(self.dilations):
             xt = leaky_relu(x, LRELU_SLOPE)
             if x_mask is not None:
                 xt = xt * x_mask
             xt = Conv1d(self.channels, self.kernel_size, dilation=d, weight_norm=True,
-                        kernel_init=normal_init(), dtype=self.dtype, name=f"c1_{i}")(xt)
+                        fold=self.fold, kernel_init=normal_init(),
+                        dtype=self.dtype, name=f"c1_{i}")(xt)
             xt = leaky_relu(xt, LRELU_SLOPE)
             if x_mask is not None:
                 xt = xt * x_mask
             xt = Conv1d(self.channels, self.kernel_size, dilation=1, weight_norm=True,
-                        kernel_init=normal_init(), dtype=self.dtype, name=f"c2_{i}")(xt)
+                        fold=self.fold, kernel_init=normal_init(),
+                        dtype=self.dtype, name=f"c2_{i}")(xt)
             x = xt + x
         if x_mask is not None:
             x = x * x_mask
@@ -68,16 +78,19 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3)
+    fold: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, x_mask: Optional[jax.Array] = None) -> jax.Array:
+        assert self.fold == 1 or x_mask is None, "folded ResBlock is mask-free"
         for i, d in enumerate(self.dilations):
             xt = leaky_relu(x, LRELU_SLOPE)
             if x_mask is not None:
                 xt = xt * x_mask
             xt = Conv1d(self.channels, self.kernel_size, dilation=d, weight_norm=True,
-                        kernel_init=normal_init(), dtype=self.dtype, name=f"c_{i}")(xt)
+                        fold=self.fold, kernel_init=normal_init(),
+                        dtype=self.dtype, name=f"c_{i}")(xt)
             x = xt + x
         if x_mask is not None:
             x = x * x_mask
@@ -98,6 +111,12 @@ class HiFiGANGenerator(nn.Module):
     upsample_initial_channel: int = 512
     upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
     gin_channels: int = 0
+    # Run low-channel tail stages time-folded so >=min_lanes effective
+    # channels stay on the TPU lanes (kills the 2-4x lane-padding waste the
+    # unfolded 64/32-channel stages pay; ROADMAP item 1). Exact: same params,
+    # same outputs (tests/test_folded_conv.py::test_hifigan_folded_parity).
+    fold_tail: bool = True
+    min_lanes: int = 128
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -111,21 +130,37 @@ class HiFiGANGenerator(nn.Module):
             x = x + nn.Dense(self.upsample_initial_channel, dtype=self.dtype,
                              name="cond")(g)[:, None, :]
 
+        fold = 1
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             x = leaky_relu(x, LRELU_SLOPE)
             ch = self.upsample_initial_channel // (2 ** (i + 1))
-            x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
-                                weight_norm=True, kernel_init=normal_init(),
-                                dtype=self.dtype, name=f"up_{i}")(x)
+            if self.fold_tail:
+                # phase-decomposed transposed conv: output folded by fold*u,
+                # then refold so ch * fold_next >= min_lanes (capped by what
+                # the static length divides — tiny test shapes fold less).
+                x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
+                                    weight_norm=True, fold_in=fold,
+                                    kernel_init=normal_init(),
+                                    dtype=self.dtype, name=f"up_{i}")(x)
+                t_unfolded = x.shape[1] * fold * u
+                fold_next = _math.gcd(max(1, self.min_lanes // ch), t_unfolded)
+                x = refold_time(x, fold * u, fold_next)
+                fold = fold_next
+            else:
+                x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
+                                    weight_norm=True, kernel_init=normal_init(),
+                                    dtype=self.dtype, name=f"up_{i}")(x)
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
-                block = res_cls(ch, rk, tuple(rd), dtype=self.dtype, name=f"res_{i}_{j}")
+                block = res_cls(ch, rk, tuple(rd), fold=fold, dtype=self.dtype,
+                                name=f"res_{i}_{j}")
                 xs = block(x) if xs is None else xs + block(x)
             x = xs / num_kernels
 
         x = leaky_relu(x, 0.01)  # final activation uses torch's default slope
-        x = Conv1d(1, 7, padding=(3, 3), weight_norm=True, dtype=self.dtype,
-                   name="conv_post")(x)
+        x = Conv1d(1, 7, padding=(3, 3), weight_norm=True, fold=fold,
+                   dtype=self.dtype, name="conv_post")(x)
+        x = unfold_time(x, fold)
         return jnp.tanh(x)

@@ -115,13 +115,16 @@ class Conv1d(nn.Module):
     use_bias: bool = True
     weight_norm: bool = False
     spectral_norm: bool = False
+    # fold > 1: input/output are time-folded [B, T/fold, fold*C]
+    # (space-to-depth; see ops/folded_conv.py). Same params either way.
+    fold: int = 1
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // self.fold
         kshape = (self.kernel_size, in_ch // self.groups, self.features)
         if self.spectral_norm:
             v = self.param("v", self.kernel_init, kshape, jnp.float32)
@@ -132,6 +135,20 @@ class Conv1d(nn.Module):
             kernel = (g * v / jnp.maximum(_norm_except_last(v), 1e-12)).astype(self.dtype)
         else:
             kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32).astype(self.dtype)
+
+        if self.fold > 1:
+            same = torch_same_padding(self.kernel_size, self.dilation)
+            assert self.stride == 1 and self.groups == 1 and (
+                self.padding == "same" or tuple(self.padding) == same
+            ), "folded Conv1d supports stride-1 same-padded ungrouped convs"
+            from vcvits_tpu.ops.folded_conv import (
+                fold_same_conv_kernel, folded_conv_apply)
+            wf, fpad = fold_same_conv_kernel(kernel, self.dilation, self.fold)
+            b = (self.param("bias", self.bias_init, (self.features,), jnp.float32)
+                 .astype(self.dtype) if self.use_bias else None)
+            return folded_conv_apply(x.astype(self.dtype), wf, fpad, bias=b,
+                                     fold_out=self.fold,
+                                     precision=conv_precision(self.dtype))
 
         if self.padding == "same":
             pad = [torch_same_padding(self.kernel_size, self.dilation)]
@@ -171,12 +188,16 @@ class ConvTranspose1d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     weight_norm: bool = False
+    # fold_in >= 1: input is time-folded by fold_in; output comes back folded
+    # by stride*fold_in (phase-decomposed transposed conv — exact, and for
+    # k = stride it is one dense matmul instead of an lhs-dilated conv).
+    fold_in: int = 0  # 0 = unfolded path
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // max(self.fold_in, 1)
         kshape = (self.kernel_size, self.features, in_ch)  # [k, out, in]
         if self.weight_norm:
             # torch weight_norm(dim=0) on ConvTranspose1d weight [in, out, k]
@@ -186,6 +207,18 @@ class ConvTranspose1d(nn.Module):
             kernel = (g * v / jnp.maximum(_norm_except_last(v), 1e-12)).astype(self.dtype)
         else:
             kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32).astype(self.dtype)
+
+        if self.fold_in >= 1:
+            from vcvits_tpu.ops.folded_conv import (
+                fold_transpose_conv_kernel, folded_conv_apply)
+            wf, fpad = fold_transpose_conv_kernel(
+                kernel, self.stride, self.padding, self.fold_in)
+            b = (self.param("bias", nn.initializers.zeros, (self.features,),
+                            jnp.float32).astype(self.dtype)
+                 if self.use_bias else None)
+            return folded_conv_apply(x.astype(self.dtype), wf, fpad, bias=b,
+                                     fold_out=self.stride * self.fold_in,
+                                     precision=conv_precision(self.dtype))
 
         # Equivalent regular conv: dilate input by stride, pad k-1-p, flip kernel.
         k, p, s = self.kernel_size, self.padding, self.stride
