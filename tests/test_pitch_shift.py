@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 
 from vcvits_tpu.dsp.pitch_shift import pitch_shift
@@ -8,6 +9,7 @@ def _dominant_freq(y, sr):
     return np.argmax(spec) * sr / len(y)
 
 
+@pytest.mark.slow
 def test_pitch_shift_semitones():
     sr = 16000
     t = np.arange(sr) / sr

@@ -48,6 +48,7 @@ def batch():
     }
 
 
+@pytest.mark.slow
 def test_train_step_end_to_end(cfg, batch):
     g_params, d_params = init_params(cfg, jax.random.PRNGKey(0), batch,
                                      hubert_cfg=TINY_HUBERT)

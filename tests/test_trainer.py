@@ -64,6 +64,7 @@ def cfg(corpus):
     })
 
 
+@pytest.mark.slow
 def test_fit_checkpoint_resume_infer(cfg, corpus, tmp_path):
     tmp, fl = corpus
     workdir = str(tmp_path / "logs")

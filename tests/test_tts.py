@@ -195,6 +195,7 @@ def tts_model():
     )
 
 
+@pytest.mark.slow
 def test_tts_forward_and_infer(tts_model, rng):
     b, t_x, t_y = 2, 12, 40
     x = jnp.asarray(rng.integers(1, len(symbols), (b, t_x)))

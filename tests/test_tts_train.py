@@ -29,6 +29,7 @@ def cfg():
     })
 
 
+@pytest.mark.slow
 def test_tts_train_step(cfg):
     g = np.random.default_rng(0)
     b, t_x, ty = 2, 10, 15360

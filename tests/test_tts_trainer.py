@@ -47,6 +47,7 @@ def test_tts_dataset_and_collate(corpus):
     assert (batch["y_wav_lengths"] % 512 == 0).all()
 
 
+@pytest.mark.slow
 def test_tts_trainer_fit_and_synthesize(corpus, tmp_path):
     import jax.numpy as jnp
 
