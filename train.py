@@ -40,6 +40,12 @@ def main() -> None:
                         help="torch HuBERT checkpoint (fairseq .pt) to convert+load")
     parser.add_argument("--profile", default=None,
                         help="capture a jax.profiler trace into this directory")
+    parser.add_argument("--preload", action="store_true",
+                        help="train from precomputed HuBERT features (dumps "
+                             "any missing ones first); skips the frozen "
+                             "HuBERT forward every step")
+    parser.add_argument("--preload-dump", action="store_true",
+                        help="dump precomputed HuBERT features and exit")
     args = parser.parse_args()
 
     if args.accelerator == "cpu":
@@ -53,6 +59,11 @@ def main() -> None:
     from vcvits_tpu.config import load_config
     from vcvits_tpu.data.dataset import VoiceConversionDataset, preprocess
     from vcvits_tpu.train.trainer import Trainer
+    from vcvits_tpu.utils.provenance import check_git_hash, get_logger
+
+    # experiment provenance (reference utils.py:203-236)
+    check_git_hash(args.workdir)
+    get_logger(args.workdir).info("train.py args: %s", vars(args))
 
     cfg = load_config(args.config)
     if args.cachedir:
@@ -75,8 +86,35 @@ def main() -> None:
             args.hubert_ckpt, hubert_config_for(cfg.model.hubert_channels)
         )
 
+    if args.preload or args.preload_dump:
+        import jax
+
+        from vcvits_tpu.data.preload import dump_hubert_features
+        from vcvits_tpu.models.hubert import HubertModel
+        from vcvits_tpu.models.synthesizer import hubert_config_for
+
+        hub_params = hubert_params
+        if hub_params is None:
+            logging.warning("--preload without --hubert-ckpt: dumping features "
+                            "from a randomly initialized HuBERT")
+            hcfg = hubert_config_for(cfg.model.hubert_channels)
+            hub = HubertModel(hcfg, dtype=dtype)
+            dummy = jnp.zeros((1, 2640), jnp.float32)
+            hub_params = jax.jit(
+                lambda k: hub.init(k, dummy)["params"]
+            )(jax.random.PRNGKey(cfg.train.seed))
+        for files in (cfg.data.training_files, cfg.data.validation_files):
+            if os.path.exists(files):
+                n = dump_hubert_features(
+                    VoiceConversionDataset(files, cfg.data), cfg, hub_params,
+                    dtype=dtype,
+                )
+                logging.info("dumped %d HuBERT feature files for %s", n, files)
+        if args.preload_dump:
+            return
+
     trainer = Trainer(cfg, workdir=args.workdir, dtype=dtype,
-                      hubert_params=hubert_params)
+                      hubert_params=hubert_params, preload=args.preload)
     if args.profile:
         from vcvits_tpu.utils.profiling import trace
 

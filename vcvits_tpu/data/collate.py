@@ -72,11 +72,19 @@ def collate(
     x_lens = np.zeros((b,), np.int32)
     y_lens = np.zeros((b,), np.int32)
     sid = np.zeros((b,), np.int32)
+    # preload path (preload_vc_ms.py/collate.py:5-130 capability): items may
+    # carry precomputed HuBERT features, cropped frame-locked with the wav
+    has_feats = "hubert_features" in items[0]
+    feats = (
+        np.zeros((b, tp, items[0]["hubert_features"].shape[-1]), np.float32)
+        if has_feats else None
+    )
 
     for i, item in enumerate(items):
         xw = item["x_wav"]
         yw = item["y_wav"]
         pw = item["x_pitch"]
+        hw = item.get("hubert_features")
         n = len(xw)
         if n > tx:  # random aligned crop
             max_off = (n - tx) // unit
@@ -84,18 +92,23 @@ def collate(
             xw = xw[off : off + tx]
             yw = yw[off * ratio_num // ratio_den :][: ty]
             pw = pw[off // ds :][: tp]
+            if hw is not None:
+                hw = hw[off // ds :][: tp]
             n = tx
         x[i, :n] = xw
         ny = min(len(yw), ty)
         y[i, :ny] = yw[:ny]
         np_ = min(len(pw), tp)
         pitch[i, :np_] = pw[:np_]
+        if feats is not None and hw is not None:
+            nh = min(len(hw), tp)
+            feats[i, :nh] = hw[:nh]
         # keep every stream consistent with whole alignment units
         x_lens[i] = n
         y_lens[i] = ny
         sid[i] = int(item["sid"])
 
-    return {
+    out = {
         "x_wav": x,
         "x_wav_lengths": x_lens,
         "x_pitch": pitch,
@@ -103,3 +116,6 @@ def collate(
         "y_wav_lengths": y_lens,
         "sid": sid,
     }
+    if feats is not None:
+        out["hubert_features"] = feats
+    return out

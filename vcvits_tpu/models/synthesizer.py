@@ -143,16 +143,19 @@ class SynthesizerSVC(nn.Module):
         sid: Optional[jax.Array] = None,
         rng: Optional[jax.Array] = None,
         deterministic: bool = True,
+        hubert_features: Optional[jax.Array] = None,
     ):
         """Training forward (synthesizer_svc.py:70-88). Returns
         (y_hat, ids_slice, x_mask, y_mask, (z, z_p, m_p, logs_p, m_q, logs_q)).
+        `hubert_features` (preload path) skips the frozen HuBERT forward.
         """
         if rng is None:
             rng = self.make_rng("sample")
         r_post, r_slice = jax.random.split(rng)
 
         _, m_p, logs_p, x_mask = self.enc_p(
-            x_wav, x_wav_lengths, x_pitch, deterministic=deterministic
+            x_wav, x_wav_lengths, x_pitch, deterministic=deterministic,
+            hubert_features=hubert_features,
         )
         g = self._speaker(sid)
         z, m_q, logs_q, y_mask = self.enc_q(y_spec, y_spec_lengths, g=g, rng=r_post)

@@ -103,8 +103,16 @@ def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None,
         r_sample, r_dropout = jax.random.split(rng)
 
         # --- frozen feature extraction (vcvits.py:61-77, inference_mode) ---
-        x_wav = smooth_source(batch["x_wav"], d.filter_length, hop, d.win_length)
-        x_wav = jax.lax.stop_gradient(x_wav)
+        hubert_features = batch.get("hubert_features")
+        if hubert_features is None:
+            x_wav = smooth_source(batch["x_wav"], d.filter_length, hop, d.win_length)
+            x_wav = jax.lax.stop_gradient(x_wav)
+        else:
+            # preload path: features were dumped from the smoothed source
+            # (data/preload.py), so the STFT->iSTFT pipeline AND the frozen
+            # HuBERT forward are skipped entirely.
+            x_wav = batch["x_wav"]
+            hubert_features = jax.lax.stop_gradient(hubert_features)
         y_spec, y_mel = features(batch["y_wav"])
         y_spec = jax.lax.stop_gradient(y_spec)
         y_mel = jax.lax.stop_gradient(y_mel)
@@ -119,6 +127,8 @@ def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None,
                 x_wav.astype(dtype), batch["x_wav_lengths"], batch["x_pitch"],
                 y_spec.astype(dtype), y_spec_lengths, sid,
                 rng=r_sample, deterministic=False,
+                hubert_features=(None if hubert_features is None
+                                 else hubert_features.astype(dtype)),
                 rngs={"dropout": r_dropout},
             )
             y_seg = slice_segments(

@@ -41,12 +41,16 @@ class Trainer:
         dtype=jnp.float32,
         hubert_cfg=None,
         hubert_params=None,
+        preload: bool = False,
     ):
         self.cfg = cfg
         self.workdir = workdir
         self.dtype = dtype
         self.hubert_cfg = hubert_cfg
         self.hubert_params = hubert_params
+        # preload: train from precomputed HuBERT features (data/preload.py),
+        # skipping the frozen ~95M-param forward each step
+        self.preload = preload
         # Data-parallel mesh over as many devices as the global batch admits
         # (production: make batch_size a multiple of the device count).
         import math as _math
@@ -128,8 +132,12 @@ class Trainer:
         val_loader=None,
     ):
         cfg = self.cfg
+        ds_cls = VoiceConversionDataset
+        if self.preload:
+            from vcvits_tpu.data.preload import PreloadVoiceConversionDataset
+            ds_cls = PreloadVoiceConversionDataset
         if train_loader is None:
-            train_ds = VoiceConversionDataset(train_files or cfg.data.training_files, cfg.data)
+            train_ds = ds_cls(train_files or cfg.data.training_files, cfg.data)
             train_loader = BucketedLoader(train_ds, cfg.data, cfg.train.batch_size)
         if val_loader is None and (val_files or cfg.data.validation_files):
             try:
