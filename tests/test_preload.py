@@ -113,10 +113,19 @@ def test_preload_losses_match_live(cfg, corpus):
     assert pre_ds.get_item(0) is pre_ds.get_item(0)
 
 
-def test_preload_collate_crop_keeps_features_aligned(cfg, corpus):
+def test_preload_collate_crop_keeps_features_aligned(cfg, corpus, tmp_path):
     """When the bucket crops the wav, the feature crop stays frame-locked
-    with pitch (off//ds), like the aligned wav crop."""
-    pre = PreloadVoiceConversionDataset(corpus, cfg.data)
+    with pitch (off//ds), like the aligned wav crop. Self-contained: dumps
+    into its own cache with a fresh tiny HuBERT."""
+    from vcvits_tpu.models.hubert import HubertModel
+
+    cache = str(tmp_path / "cache")
+    ds = VoiceConversionDataset(corpus, cfg.data, cache_dir=cache)
+    hub = HubertModel(TINY_HUBERT)
+    hp = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 2640)))["params"]
+    assert dump_hubert_features(ds, cfg, hp, hubert_cfg=TINY_HUBERT,
+                                batch_size=2, dtype=jnp.float32) == 3
+    pre = PreloadVoiceConversionDataset(corpus, cfg.data, cache_dir=cache)
     item = pre.get_item(0)
     ds = cfg.data.hubert_downsample
     small = 2560  # one alignment unit < clip length

@@ -92,3 +92,21 @@ def test_lr_schedule_decays(cfg):
     lr2 = float(s(10))  # epoch boundary at steps_per_epoch=10
     assert lr0 == lr1 == pytest.approx(2e-4)
     assert lr2 == pytest.approx(2e-4 * 0.999875)
+
+
+@pytest.mark.slow
+def test_d_recompute_forward_variant(cfg, batch):
+    """Reference-exact D-step semantics (vcvits.py:151-183): recompute the
+    generator with post-update weights + fresh slices for the D loss."""
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, d_recompute_forward=True))
+    g_params, d_params = init_params(cfg2, jax.random.PRNGKey(0), batch,
+                                     hubert_cfg=TINY_HUBERT)
+    state = create_train_state(cfg2, g_params, d_params)
+    step = jax.jit(make_train_step(cfg2, hubert_cfg=TINY_HUBERT))
+    state1, m1 = step(state, batch, jax.random.PRNGKey(1))
+    for k, v in m1.items():
+        assert np.isfinite(np.asarray(v)).all(), f"{k} not finite: {v}"
+    assert int(state1.step) == 1

@@ -66,6 +66,14 @@ class TrainConfig:
     # (vcvits.py:247-263); set explicitly to override.
     steps_per_epoch: Optional[int] = None
     grad_clip: Optional[float] = None  # reference measures but never clips (commons.py:145-160)
+    # fused Pallas STFT+mel for the frozen target features in the train step
+    # (SURVEY §2.6 N1); auto-falls back to the XLA path off-TPU.
+    pallas_frontend: bool = True
+    # True = reference-exact D-step semantics (vcvits.py:151-183): recompute
+    # the generator forward with post-update G weights and fresh random
+    # slices before the D update. False (default) reuses the G step's y_hat
+    # under stop_gradient — half the generator FLOPs, standard practice.
+    d_recompute_forward: bool = False
 
 
 @dataclass(frozen=True)

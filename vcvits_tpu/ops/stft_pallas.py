@@ -124,3 +124,101 @@ def mel_spectrogram_fused(
     )(frames, jnp.asarray(cos_p), jnp.asarray(sin_p), jnp.asarray(fb_p))
 
     return out[:rows].reshape(b, num_frames, n_mels)
+
+
+def spectrogram_mel_fused(
+    y: jax.Array,
+    n_fft: int,
+    n_mels: int,
+    sr: int,
+    hop_length: int,
+    win_length: int,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    clip_val: float = 1e-5,
+):
+    """[B, T] -> (|STFT| [B, T/hop, n_fft//2+1], log-mel [B, T/hop, n_mels])
+    in ONE Pallas kernel: the windowed real-DFT magnitudes are written once
+    per frequency tile AND folded into the mel accumulation, so the frames
+    are read from HBM a single time and the mel projection costs no extra
+    spectrogram pass. This feeds the G loss (train/step.py features()):
+    y_spec for the posterior encoder, y_mel for the mel-L1 term —
+    mel_processing.py:54-142 semantics. Falls back to XLA off-TPU.
+    """
+    from vcvits_tpu.dsp.spectrogram import spec_to_mel, stft_magnitude
+
+    if jax.devices()[0].platform not in ("tpu",):
+        spec = stft_magnitude(y, n_fft, hop_length, win_length)
+        mel = spec_to_mel(spec, n_fft, n_mels, sr, fmin, fmax)
+        return spec, mel
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t = y.shape
+    pad = (n_fft - hop_length) // 2
+    ypad = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    num_frames = 1 + (ypad.shape[1] - n_fft) // hop_length
+    idx = _frame_indices(num_frames, n_fft, hop_length)
+    frames = ypad[:, idx].reshape(b * num_frames, n_fft)
+
+    rows = frames.shape[0]
+    rows_pad = -(-rows // FRAME_BLOCK) * FRAME_BLOCK
+    frames = jnp.pad(frames, ((0, rows_pad - rows), (0, 0)))
+
+    cos_p, sin_p, fb_p, n_tiles = _padded_basis(
+        n_fft, win_length, n_mels, sr, fmin, fmax if fmax is None else float(fmax)
+    )
+    n_freq = n_fft // 2 + 1
+
+    def kernel(fr_ref, cos_ref, sin_ref, fb_ref, spec_ref, mel_ref, acc_ref):
+        ft = pl.program_id(1)
+        fr = fr_ref[:]
+        re = jnp.dot(fr, cos_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        im = jnp.dot(fr, sin_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        mag = jnp.sqrt(re * re + im * im + 1e-6)
+        spec_ref[:] = mag
+        part = jnp.dot(mag, fb_ref[:], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+        @pl.when(ft == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += part
+
+        @pl.when(ft == n_tiles - 1)
+        def _():
+            mel_ref[:] = jnp.log(jnp.clip(acc_ref[:], min=clip_val))
+
+    spec, mel = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows_pad, n_tiles * FREQ_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, n_mels), jnp.float32),
+        ),
+        grid=(rows_pad // FRAME_BLOCK, n_tiles),
+        in_specs=[
+            pl.BlockSpec((FRAME_BLOCK, n_fft), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, FREQ_TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, FREQ_TILE), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FREQ_TILE, n_mels), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((FRAME_BLOCK, FREQ_TILE), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FRAME_BLOCK, n_mels), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((FRAME_BLOCK, n_mels), jnp.float32)],
+    )(frames, jnp.asarray(cos_p), jnp.asarray(sin_p), jnp.asarray(fb_p))
+
+    spec = spec[:rows, :n_freq].reshape(b, num_frames, n_freq)
+    mel = mel[:rows].reshape(b, num_frames, n_mels)
+    return spec, mel

@@ -92,12 +92,33 @@ def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None,
     d = cfg.data
     hop = d.hop_length
     seg_frames = cfg.train.segment_size // hop
+    use_pallas = (cfg.train.pallas_frontend
+                  and jax.devices()[0].platform == "tpu")
 
     def features(y_wav):
+        """Target spec+mel (frozen; vcvits.py:64-77). On TPU this is the
+        fused Pallas kernel (N1): one pass over the frames computes both the
+        linear spec and the log-mel. The generated-slice mel (o_mel below)
+        stays on the XLA path because it needs gradients and pallas_call
+        does not define a VJP — the y path is the dominant cost anyway
+        (full-length audio vs 0.34 s segments)."""
+        if use_pallas:
+            from vcvits_tpu.ops.stft_pallas import spectrogram_mel_fused
+
+            return spectrogram_mel_fused(
+                y_wav, d.filter_length, d.n_mel_channels,
+                d.target_sampling_rate, hop, d.win_length,
+                d.mel_fmin, d.mel_fmax)
         y_spec = stft_magnitude(y_wav, d.filter_length, hop, d.win_length)
         y_mel = spec_to_mel(y_spec, d.filter_length, d.n_mel_channels,
                             d.target_sampling_rate, d.mel_fmin, d.mel_fmax)
         return y_spec, y_mel
+
+    def mel_of(wav):
+        """Differentiable mel for the generated slice (XLA path)."""
+        spec = stft_magnitude(wav, d.filter_length, hop, d.win_length)
+        return spec_to_mel(spec, d.filter_length, d.n_mel_channels,
+                           d.target_sampling_rate, d.mel_fmin, d.mel_fmax)
 
     def train_step(state: GANTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         r_sample, r_dropout = jax.random.split(rng)
@@ -146,7 +167,7 @@ def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None,
             loss_p_gen, _ = generator_loss(p_lg)
             loss_s_gen, _ = generator_loss(s_lg)
 
-            _, o_mel = features(o32[:, :, 0])
+            o_mel = mel_of(o32[:, :, 0])
             y_mel_slice = slice_segments(y_mel, ids, seg_frames)
             loss_mel = jnp.mean(jnp.abs(o_mel - y_mel_slice)) * cfg.train.c_mel
             loss_kl = kl_loss(z_p, logs_q, m_p, logs_p, y_mask) * cfg.train.c_kl
@@ -166,9 +187,26 @@ def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None,
         g_params = optax.apply_updates(state.g_params, g_updates)
 
         # --- discriminator update (vcvits.py:151-183) ---
-        y_hat_sg = jax.lax.stop_gradient(aux["y_hat"])
+        if cfg.train.d_recompute_forward:
+            # reference-exact semantics: fresh forward with POST-update G
+            # weights and fresh random slices (costs an extra G forward)
+            r_sample2, r_dropout2 = jax.random.split(jax.random.fold_in(rng, 1))
+            o2, ids2, _, _, _ = gen.apply(
+                {"params": g_params},
+                x_wav.astype(dtype), batch["x_wav_lengths"], batch["x_pitch"],
+                y_spec.astype(dtype), y_spec_lengths, sid,
+                rng=r_sample2, deterministic=False,
+                hubert_features=(None if hubert_features is None
+                                 else hubert_features.astype(dtype)),
+                rngs={"dropout": r_dropout2},
+            )
+            y_hat_sg = jax.lax.stop_gradient(o2)
+            d_ids = ids2
+        else:
+            y_hat_sg = jax.lax.stop_gradient(aux["y_hat"])
+            d_ids = aux["ids"]
         y_seg = slice_segments(
-            batch["y_wav"][:, :, None], aux["ids"] * hop, cfg.train.segment_size
+            batch["y_wav"][:, :, None], d_ids * hop, cfg.train.segment_size
         ).astype(dtype)
 
         def d_loss_fn(d_params):
