@@ -88,3 +88,19 @@ def test_hubert_base_shapes():
     params = model.init(jax.random.PRNGKey(0), wav)
     out = model.apply(params, wav)
     assert out.shape == (1, 10, 768)
+
+
+def test_im2col_first_conv_exact():
+    """ROADMAP item 2: the single-channel first conv folded into a dense
+    [k -> dim] matmul (full MXU lane use) is bit-exact vs the plain conv."""
+    from vcvits_tpu.models.hubert import ConvFeatureExtractor
+
+    cfg = HUBERT_BASE
+    wav = jax.random.normal(jax.random.PRNGKey(0), (2, 3200))
+    folded = ConvFeatureExtractor(cfg, im2col_first=True)
+    plain = ConvFeatureExtractor(cfg, im2col_first=False)
+    p = folded.init(jax.random.PRNGKey(1), wav)["params"]
+    y1 = folded.apply({"params": p}, wav)
+    y0 = plain.apply({"params": p}, wav)
+    assert y1.shape == y0.shape
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))

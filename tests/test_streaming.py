@@ -129,3 +129,52 @@ def test_streamed_vs_offline_mel_closeness(converter):
     l1 = float(np.mean(np.abs(mel(off) - mel(strm))))
     print(f"streamed-vs-offline mel L1 = {l1:.4f}")
     assert l1 < 0.5
+
+
+def test_incremental_streaming_matches_offline(converter):
+    """Cached-conv-state streaming (incremental=True): flow+decoder continue
+    exactly across chunks (ring buffers, no left-context recompute, no
+    crossfade); only the windowed encoder contributes boundary error, so
+    the match should be at least as tight as the windowed mode's."""
+    from vcvits_tpu.dsp.pitch import coarse_f0, estimate_pitch
+
+    cfg = converter.cfg.data
+    sr = cfg.source_sampling_rate
+    total = int(sr * 1.28)
+    t = np.arange(total) / sr
+    src = (0.4 * np.sin(2 * np.pi * 220 * t)
+           + 0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+    f0 = estimate_pitch(src, sr=sr, n_fft=cfg.filter_length,
+                        win_length=cfg.win_length, hop_length=320)
+    pitch = coarse_f0(f0, f0_bin=cfg.num_pitch)
+    offline = converter.convert_array(src, pitch, 1, noise_scale=0.0)
+
+    sc = StreamingConverter(converter, speaker_id=1, chunk_seconds=0.32,
+                            context_seconds=0.16, noise_scale=0.0,
+                            incremental=True)
+    pieces = []
+    for start in range(0, total, 3333):  # awkward push sizes
+        pieces.extend(sc.push(src[start: start + 3333]))
+    pieces.extend(sc.flush())
+    streamed = np.concatenate(pieces)
+
+    # exact length contract: floor(true_len * length_scale) * hop samples
+    expect = (total * cfg.target_sampling_rate
+              // (sr * cfg.hop_length)) * cfg.hop_length
+    assert len(streamed) == expect
+    assert np.isfinite(streamed).all()
+
+    n = min(len(offline), len(streamed))
+    off, strm = offline[:n], streamed[:n]
+    assert float(np.std(off)) > 0
+    rel = float(np.linalg.norm(off - strm) / (np.linalg.norm(off) + 1e-12))
+    bad = np.roll(strm, cfg.hop_length * 4)
+    rel_bad = float(np.linalg.norm(off - bad) / (np.linalg.norm(off) + 1e-12))
+    print(f"incremental-vs-offline rel L2 = {rel:.4f} (misaligned: {rel_bad:.4f})")
+    assert rel < 0.35
+    assert rel < 0.5 * rel_bad
+
+    # state is fixed-size: streaming forever costs O(1) memory
+    sizes = {k: v.shape for k, v in sc._dec_state.items() if k != "__n"}
+    assert all(np.prod(s) < 1e6 for s in sizes.values())

@@ -46,6 +46,10 @@ def main() -> None:
                              "HuBERT forward every step")
     parser.add_argument("--preload-dump", action="store_true",
                         help="dump precomputed HuBERT features and exit")
+    parser.add_argument("--model-parallel", type=int, default=1,
+                        help="tensor-parallel degree over the 'model' mesh "
+                             "axis (wide matmuls sharded, XLA collectives "
+                             "over ICI); devices = data x model")
     args = parser.parse_args()
 
     if args.accelerator == "cpu":
@@ -114,7 +118,8 @@ def main() -> None:
             return
 
     trainer = Trainer(cfg, workdir=args.workdir, dtype=dtype,
-                      hubert_params=hubert_params, preload=args.preload)
+                      hubert_params=hubert_params, preload=args.preload,
+                      model_parallel=args.model_parallel)
     if args.profile:
         from vcvits_tpu.utils.profiling import trace
 

@@ -26,6 +26,9 @@ def main() -> None:
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--cleaners", nargs="+", default=["english_cleaners"])
+    parser.add_argument("--add-blank", action="store_true",
+                        help="intersperse blank ids between symbols (the "
+                             "upstream VITS data.add_blank option)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -38,7 +41,7 @@ def main() -> None:
     cfg = load_config(args.config)
     dtype = jnp.bfloat16 if (args.bf16 or cfg.train.fp16_run) else jnp.float32
     trainer = TTSTrainer(cfg, workdir=args.workdir, dtype=dtype,
-                         cleaners=args.cleaners)
+                         cleaners=args.cleaners, add_blank=args.add_blank)
     trainer.fit(args.filelist, max_steps=args.max_steps)
 
 

@@ -45,10 +45,14 @@ class TTSDataset:
         cleaners: Sequence[str] = ("english_cleaners",),
         cache_dir: Optional[str] = None,
         shuffle_seed: Optional[int] = 1234,
+        add_blank: bool = False,
     ):
         self.items = load_tts_filelist(filelist_path)
         self.cfg = cfg
         self.cleaners = tuple(cleaners)
+        # VITS add_blank: intersperse blank id 0 between symbols (the
+        # upstream VITS data option; commons.py:24-27 in the reference)
+        self.add_blank = add_blank
         self.cache_dir = cache_dir or cfg.cache_dir
         os.makedirs(self.cache_dir, exist_ok=True)
         if shuffle_seed is not None:
@@ -83,7 +87,12 @@ class TTSDataset:
                 win_length=cfg.win_length, hop_length=cfg.hop_length,
             ),
         )
-        seq = np.asarray(text_to_sequence(text, self.cleaners), np.int64)
+        ids = text_to_sequence(text, self.cleaners)
+        if self.add_blank:
+            from vcvits_tpu.text import intersperse
+
+            ids = intersperse(ids, 0)
+        seq = np.asarray(ids, np.int64)
         return {"sid": np.int64(sid), "text": seq, "y_wav": y_wav, "pitch": pitch}
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:

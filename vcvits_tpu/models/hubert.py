@@ -96,6 +96,11 @@ class _GroupNormAll(nn.Module):
 class ConvFeatureExtractor(nn.Module):
     cfg: HubertConfig
     dtype: Dtype = jnp.float32
+    # im2col the single-channel first conv into a dense [k -> dim] matmul:
+    # the wav enters with 1 of 128 lanes used, so the plain conv wastes the
+    # MXU 128x on its input side (ROADMAP item 2). Exact — same params,
+    # same taps in the same order (tests/test_hubert.py parity covers it).
+    im2col_first: bool = True
 
     @nn.compact
     def __call__(self, wav: jax.Array) -> jax.Array:
@@ -106,12 +111,25 @@ class ConvFeatureExtractor(nn.Module):
                 f"conv_{i}_kernel", nn.initializers.he_normal(),
                 (k, x.shape[-1], dim), jnp.float32,
             )
-            x = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), kernel.astype(self.dtype),
-                window_strides=(s,), padding=[(0, 0)],
-                dimension_numbers=("NHC", "HIO", "NHC"),
-                precision=conv_precision(self.dtype),
-            )
+            if (i == 0 and self.im2col_first and x.shape[-1] == 1
+                    and k % s == 0 and wav.shape[1] % s == 0):
+                b, t = wav.shape
+                nb = k // s
+                xb = wav.reshape(b, t // s, s).astype(self.dtype)
+                frames = jnp.concatenate(
+                    [xb[:, j: xb.shape[1] - (nb - 1 - j)] for j in range(nb)],
+                    axis=-1)  # [B, (T-k)//s + 1, k]
+                x = jnp.einsum(
+                    "btk,kd->btd", frames,
+                    kernel.reshape(k, dim).astype(self.dtype),
+                    precision=conv_precision(self.dtype))
+            else:
+                x = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), kernel.astype(self.dtype),
+                    window_strides=(s,), padding=[(0, 0)],
+                    dimension_numbers=("NHC", "HIO", "NHC"),
+                    precision=conv_precision(self.dtype),
+                )
             if self.cfg.conv_bias:
                 b = self.param(f"conv_{i}_bias", nn.initializers.zeros, (dim,), jnp.float32)
                 x = x + b.astype(self.dtype)

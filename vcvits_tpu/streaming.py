@@ -20,10 +20,19 @@ Design (windowed-overlap streaming):
 
 Latency = chunk + right context (default 2.16 s); throughput is the
 chunk RTF of the jitted infer program.
+
+`incremental=True` (round-2) switches the flow reverse + decoder — the
+expensive ~75% of device time — to TRUE incremental streaming with cached
+conv state (vcvits_tpu/streaming_conv.py): per-layer ring buffers instead
+of left-context recompute, exact continuation (no crossfade on the decode
+side). Only the content encoder stays windowed (its attention is global).
+The prior noise is drawn per GLOBAL frame index (counter-based PRNG), so
+the z_p stream is invariant to how the audio was chunked.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Iterator, List, Optional
 
 import numpy as np
@@ -43,6 +52,7 @@ class StreamingConverter:
         crossfade_ms: float = 20.0,
         noise_scale: float = 1.0,
         rng_seed: int = 0,
+        incremental: bool = False,
     ):
         self.vc = converter
         self.sid = speaker_id
@@ -62,6 +72,89 @@ class StreamingConverter:
         self._left = np.zeros(self.ctx, np.float32)  # left context (zeros at start)
         self._tail: Optional[np.ndarray] = None  # pending crossfade tail @48k
         self._chunk_index = 0
+
+        self.incremental = incremental
+        if incremental:
+            self._init_incremental(cfg)
+
+    # ------------------------------------------------- incremental machinery
+    def _frames(self, samples: int) -> int:
+        """Source samples -> spec frames (exact at alignment-unit multiples)."""
+        d = self.vc.cfg.data
+        return samples * self.tgt_sr // (self.src_sr * d.hop_length)
+
+    def _init_incremental(self, cfg) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from vcvits_tpu.models.synthesizer import nearest_interp
+        from vcvits_tpu.streaming_conv import StreamingFlowDecoder
+
+        gen = self.vc.gen
+        d = self.vc.cfg.data
+        self._F = self._frames(self.chunk)          # z_p frames per chunk
+        self._ctx_frames = self._frames(self.ctx)
+        self._sfd = StreamingFlowDecoder(gen, None, self._F).bind(self.vc.g_params)
+        self._dec_state = self._sfd.init_state()
+        self._frames_in = 0      # z_p frames fed so far
+        self._src_true = 0       # true (un-padded) source samples pushed
+        self._drop = self._sfd.delay_samples  # warmup samples to discard
+
+        tgt, src, hop = self.tgt_sr, self.src_sr, d.hop_length
+
+        def enc(p, w, l, pi):
+            def m_fn(m, w, l, pi):
+                _, m_p, logs_p, _ = m.enc_p(w, l, pi)
+                t_out = w.shape[1] * tgt // (src * hop)
+                return nearest_interp(m_p, t_out), nearest_interp(logs_p, t_out)
+            return gen.apply({"params": p}, w, l, pi, method=m_fn)
+
+        self._enc = jax.jit(enc)
+
+        @partial(jax.jit, static_argnums=(2, 3))
+        def frame_noise(key, start, n, c):
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                start + jnp.arange(n))
+            return jax.vmap(lambda k: jax.random.normal(k, (c,)))(keys)
+
+        self._frame_noise = frame_noise
+        if gen.n_speakers >= 1 and gen.gin_channels > 0:
+            emb = self.vc.g_params["emb_g"]["embedding"]
+            self._g = jnp.asarray(emb)[self.sid][None, :]
+        else:
+            self._g = None
+
+    def _convert_chunk_incremental(
+        self, window: np.ndarray, total_frames: Optional[int]
+    ) -> np.ndarray:
+        """[left_ctx | chunk | right_ctx] source -> the chunk's converted
+        samples, continuing the cached decoder/flow state exactly."""
+        import jax
+        import jax.numpy as jnp
+
+        f0 = estimate_pitch(
+            window, sr=self.src_sr, n_fft=self.vc.cfg.data.filter_length,
+            win_length=self.vc.cfg.data.win_length, hop_length=320,
+        )
+        pitch = coarse_f0(f0, f0_bin=self.vc.cfg.data.num_pitch)
+        m_p, logs_p = self._enc(
+            self.vc.g_params, jnp.asarray(window)[None, :],
+            jnp.asarray([len(window)], jnp.int32), jnp.asarray(pitch)[None, :],
+        )
+        sl = self._ctx_frames
+        m_c = m_p[:, sl: sl + self._F]
+        logs_c = logs_p[:, sl: sl + self._F]
+        eps = self._frame_noise(
+            jax.random.PRNGKey(self.rng_seed), self._frames_in, self._F,
+            m_c.shape[-1])[None]
+        z_p = m_c + eps.astype(m_c.dtype) * jnp.exp(logs_c) * self.noise_scale
+        y, self._dec_state = self._sfd.step(
+            self._dec_state, z_p, self._g, total_frames=total_frames)
+        self._frames_in += self._F
+        piece = np.asarray(y)[0, :, 0]
+        drop = min(self._drop, len(piece))
+        self._drop -= drop
+        return piece[drop:]
 
     # ----------------------------------------------------------------- core
     def _convert_window(self, window: np.ndarray, emit_src_len: int) -> np.ndarray:
@@ -102,6 +195,19 @@ class StreamingConverter:
     def push(self, samples: np.ndarray) -> Iterator[np.ndarray]:
         """Feed 16 kHz source samples; yields converted 48 kHz pieces."""
         self._buf = np.concatenate([self._buf, np.asarray(samples, np.float32)])
+        if self.incremental:
+            self._src_true += len(np.asarray(samples))
+            while len(self._buf) >= self.chunk + self.ctx:
+                chunk = self._buf[: self.chunk]
+                right = self._buf[self.chunk: self.chunk + self.ctx]
+                window = np.concatenate([self._left, chunk, right])
+                piece = self._convert_chunk_incremental(window, None)
+                self._left = np.concatenate([self._left, chunk])[-self.ctx:]
+                self._buf = self._buf[self.chunk:]
+                self._chunk_index += 1
+                if len(piece):
+                    yield piece
+            return
         while len(self._buf) >= self.chunk + self.ctx:
             chunk = self._buf[: self.chunk]
             right = self._buf[self.chunk : self.chunk + self.ctx]
@@ -117,6 +223,9 @@ class StreamingConverter:
 
     def flush(self) -> Iterator[np.ndarray]:
         """Convert whatever remains (right-padded with silence) and finish."""
+        if self.incremental:
+            yield from self._flush_incremental()
+            return
         while len(self._buf) > 0:
             remain = min(len(self._buf), self.chunk)
             padded = np.zeros(self.chunk + self.ctx, np.float32)
@@ -135,6 +244,49 @@ class StreamingConverter:
             tail, self._tail = self._tail, None
             yield tail
 
+    def _flush_incremental(self) -> Iterator[np.ndarray]:
+        """Render the remaining buffered source, then drain the cached-state
+        pipeline with zero chunks; outputs beyond the true stream length are
+        masked inside StreamingFlowDecoder (offline right-pad semantics)."""
+        import jax.numpy as jnp
+
+        d = self.vc.cfg.data
+        total_frames = max(self._frames(self._src_true), 1)
+        target = total_frames * d.hop_length
+        emitted = self._frames_in * d.hop_length - (
+            self._sfd.delay_samples - self._drop)
+
+        def cap(piece):
+            nonlocal emitted
+            take = min(len(piece), max(target - emitted, 0))
+            emitted += take
+            return piece[:take]
+
+        while len(self._buf) > 0:
+            remain = min(len(self._buf), self.chunk)
+            padded = np.zeros(self.chunk + self.ctx, np.float32)
+            take = self._buf[: self.chunk + self.ctx]
+            padded[: len(take)] = take
+            window = np.concatenate([self._left, padded])
+            piece = cap(self._convert_chunk_incremental(window, total_frames))
+            self._left = np.concatenate([self._left, padded[: self.chunk]])[-self.ctx:]
+            self._buf = self._buf[remain:]
+            if len(piece):
+                yield piece
+        zeros = jnp.zeros((1, self._F, self.vc.gen.inter_channels), jnp.float32)
+        for _ in range(self._sfd.flush_chunks()):
+            if emitted >= target:
+                break
+            y, self._dec_state = self._sfd.step(
+                self._dec_state, zeros, self._g, total_frames=total_frames)
+            self._frames_in += self._F
+            piece = np.asarray(y)[0, :, 0]
+            drop = min(self._drop, len(piece))
+            self._drop -= drop
+            piece = cap(piece[drop:])
+            if len(piece):
+                yield piece
+
     def convert_stream(
         self, pieces: Iterator[np.ndarray]
     ) -> Iterator[np.ndarray]:
@@ -147,3 +299,8 @@ class StreamingConverter:
         self._left = np.zeros(self.ctx, np.float32)
         self._tail = None
         self._chunk_index = 0
+        if self.incremental:
+            self._dec_state = self._sfd.init_state()
+            self._frames_in = 0
+            self._src_true = 0
+            self._drop = self._sfd.delay_samples

@@ -42,6 +42,7 @@ class Trainer:
         hubert_cfg=None,
         hubert_params=None,
         preload: bool = False,
+        model_parallel: int = 1,
     ):
         self.cfg = cfg
         self.workdir = workdir
@@ -51,19 +52,30 @@ class Trainer:
         # preload: train from precomputed HuBERT features (data/preload.py),
         # skipping the frozen ~95M-param forward each step
         self.preload = preload
-        # Data-parallel mesh over as many devices as the global batch admits
-        # (production: make batch_size a multiple of the device count).
+        # Mesh: data parallelism over as many devices as the global batch
+        # admits (production: make batch_size a multiple of the device
+        # count), times optional tensor parallelism over 'model' (the wide
+        # HuBERT attention/FFN matmuls and >=512-channel convs are sharded
+        # by parallel.mesh._tp_spec; XLA inserts the collectives).
         import math as _math
 
+        self.model_parallel = max(int(model_parallel), 1)
         n_dev = len(jax.devices())
-        data_axis = _math.gcd(cfg.train.batch_size, n_dev)
-        if data_axis < n_dev:
+        if n_dev % self.model_parallel != 0:
+            raise ValueError(
+                f"model_parallel={self.model_parallel} does not divide "
+                f"{n_dev} devices")
+        avail = n_dev // self.model_parallel
+        data_axis = _math.gcd(cfg.train.batch_size, avail)
+        if data_axis * self.model_parallel < n_dev:
             logger.warning(
-                "batch_size %d not divisible by %d devices; using %d-way data "
-                "parallelism", cfg.train.batch_size, n_dev, data_axis,
+                "using %d-way data x %d-way model parallelism on %d of %d "
+                "devices", data_axis, self.model_parallel,
+                data_axis * self.model_parallel, n_dev,
             )
-        self.mesh = make_mesh(data=data_axis, model=1,
-                              devices=jax.devices()[:data_axis])
+        self.mesh = make_mesh(
+            data=data_axis, model=self.model_parallel,
+            devices=jax.devices()[: data_axis * self.model_parallel])
         self.tb = TensorBoardLogger(os.path.join(workdir, "tb"))
         self.ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
         # persist the config next to the checkpoints so inference can
@@ -109,16 +121,42 @@ class Trainer:
             g_params["enc_p"]["hubert"] = jax.tree.map(
                 jnp.asarray, self.hubert_params
             )
+        # Shard params BEFORE building the optimizer: optax init is
+        # zeros_like over the param tree, so Adam mu/nu inherit each
+        # param's placement (TP spec or full replication) for free.
+        if self.model_parallel > 1:
+            from vcvits_tpu.parallel.mesh import shard_params_tp
+
+            g_params = shard_params_tp(g_params, self.mesh)
+            d_params = shard_params_tp(d_params, self.mesh)
+        else:
+            g_params = shard_replicated(g_params, self.mesh)
+            d_params = shard_replicated(d_params, self.mesh)
         state = create_train_state(self.cfg, g_params, d_params,
                                    steps_per_epoch=self._steps_per_epoch)
-        return shard_replicated(state, self.mesh)
+        # Adam mu/nu inherited the param placements via zeros_like; scalars
+        # (step, optimizer counts) were created on the default device —
+        # replicate those onto the mesh so the jitted step sees one device set.
+        from jax.sharding import NamedSharding
+
+        def place(x):
+            if isinstance(getattr(x, "sharding", None), NamedSharding):
+                return x
+            return jax.device_put(x, NamedSharding(self.mesh, jax.sharding.PartitionSpec()))
+        return jax.tree.map(place, state)
 
     def resume_or_init(self, example_batch):
         state = self.init_state(example_batch)
         step = self.ckpt.latest_step()
         if step is not None:
+            # Re-apply the freshly-initialised state's shardings (TP or
+            # replicated) to the restored host arrays, leaf by leaf.
+            shardings = jax.tree.map(lambda x: getattr(x, "sharding", None),
+                                     state)
             state, changed = self.ckpt.restore_tolerant(state, step)
-            state = shard_replicated(state, self.mesh)
+            state = jax.tree.map(
+                lambda x, s: jax.device_put(x, s) if s is not None else x,
+                state, shardings)
             logger.info("resumed from step %d (tolerant=%s)", step, changed)
         return state
 

@@ -34,13 +34,15 @@ logger = logging.getLogger(__name__)
 class TTSTrainer:
     def __init__(self, cfg: Config, workdir: str = "logs_tts", dtype=jnp.float32,
                  text_bucket: int = 192, audio_seconds: float = 8.0,
-                 cleaners: Sequence[str] = ("english_cleaners",)):
+                 cleaners: Sequence[str] = ("english_cleaners",),
+                 add_blank: bool = False):
         self.cfg = cfg
         self.workdir = workdir
         self.dtype = dtype
         self.text_bucket = text_bucket
         self.audio_bucket = int(audio_seconds * cfg.data.target_sampling_rate)
         self.cleaners = cleaners
+        self.add_blank = add_blank
         import math as _m
 
         n_dev = len(jax.devices())
@@ -67,7 +69,8 @@ class TTSTrainer:
 
     def fit(self, train_files: str, max_steps: Optional[int] = None):
         cfg = self.cfg
-        ds = TTSDataset(train_files, cfg.data, cleaners=self.cleaners)
+        ds = TTSDataset(train_files, cfg.data, cleaners=self.cleaners,
+                        add_blank=self.add_blank)
         state = None
         rng = jax.random.PRNGKey(cfg.train.seed)
         timer = StepTimer()
@@ -129,6 +132,10 @@ class TTSTrainer:
         g_params = getattr(state_or_params, "g_params", state_or_params)
         gen, _, _ = build_tts_models(self.cfg, dtype=self.dtype)
         seq = text_to_sequence(text, self.cleaners)
+        if self.add_blank:
+            from vcvits_tpu.text import intersperse
+
+            seq = intersperse(seq, 0)
         x = jnp.asarray(np.asarray(seq, np.int64))[None, :]
         o, attn, y_mask, _ = gen.apply(
             {"params": g_params}, x, jnp.array([len(seq)]), jnp.array([sid]),
