@@ -22,8 +22,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("source")
-    parser.add_argument("output")
+    parser.add_argument("source", nargs="+",
+                        help="source wav(s); multiple sources pipeline host "
+                             "prep against device decode")
+    parser.add_argument("output",
+                        help="output wav, or a directory when converting "
+                             "multiple sources")
     parser.add_argument("--sid", type=int, default=256)
     parser.add_argument("--vc-source-sid", type=int, default=None,
                         help="flow-swap mode: source audio is OF this speaker; "
@@ -42,11 +46,23 @@ def main() -> None:
     cfg = load_config(args.config) if args.config else None
     vc = VoiceConverter.from_checkpoint(args.workdir, cfg=cfg)
     if args.vc_source_sid is not None:
-        vc.voice_conversion(args.source, args.output, args.vc_source_sid, args.sid)
-    else:
-        vc.convert(args.source, args.output, args.sid,
+        for src in args.source:
+            out = (os.path.join(args.output, os.path.basename(src))
+                   if len(args.source) > 1 else args.output)
+            vc.voice_conversion(src, out, args.vc_source_sid, args.sid)
+            print(f"wrote {out}")
+    elif len(args.source) == 1:
+        vc.convert(args.source[0], args.output, args.sid,
                    pitch_shift=args.pitch_shift, noise_scale=args.noise_scale)
-    print(f"wrote {args.output}")
+        print(f"wrote {args.output}")
+    else:
+        os.makedirs(args.output, exist_ok=True)
+        jobs = [(src, os.path.join(args.output, os.path.basename(src)), args.sid)
+                for src in args.source]
+        vc.convert_many(jobs, pitch_shift=args.pitch_shift,
+                        noise_scale=args.noise_scale)
+        for _, dst, _ in jobs:
+            print(f"wrote {dst}")
 
 
 if __name__ == "__main__":

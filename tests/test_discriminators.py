@@ -78,3 +78,25 @@ def test_discriminator_p_fold_matches_torch_pad(rng):
     np.testing.assert_allclose(
         np.asarray(ours)[0, :, :, 0], ref.numpy()[0, 0], atol=1e-7
     )
+
+
+def test_period_fold_exact():
+    """ROADMAP item 5: the period-folded DiscriminatorP (grouped 1-D convs
+    over [B, T/p, p*C]) is exactly the NHWC (k,1)-conv stack — same params,
+    same logits, same feature maps."""
+    import jax
+
+    for p in (2, 3, 7):
+        folded = DiscriminatorP(p, fold_period=True)
+        plain = DiscriminatorP(p, fold_period=False)
+        x = jax.random.normal(jax.random.PRNGKey(p), (2, 6 * 7 * p, 1))
+        params = folded.init(jax.random.PRNGKey(0), x)["params"]
+        l1, f1 = folded.apply({"params": params}, x)
+        l0, f0 = plain.apply({"params": params}, x)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   atol=1e-5, rtol=1e-5)
+        assert len(f1) == len(f0)
+        for a, b in zip(f1, f0):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)

@@ -76,6 +76,31 @@ def test_streaming_reset(converter):
     assert len(sc._buf) == 0 and sc._tail is None
 
 
+def test_convert_many_pipelined(converter, tmp_path):
+    """convert_many double-buffers host prepare against device decode and
+    produces the same audio as sequential convert() calls."""
+    from vcvits_tpu.utils.audio_io import read_wav, write_wav
+
+    sr = converter.cfg.data.source_sampling_rate
+    t = np.arange(int(sr * 0.5)) / sr
+    srcs = []
+    for i, f0 in enumerate((220.0, 330.0)):
+        p = str(tmp_path / f"in{i}.wav")
+        write_wav(p, (0.4 * np.sin(2 * np.pi * f0 * t)).astype(np.float32), sr)
+        srcs.append(p)
+
+    jobs = [(s, str(tmp_path / f"out{i}.wav"), 1) for i, s in enumerate(srcs)]
+    outs = converter.convert_many(jobs, noise_scale=0.0)
+    assert len(outs) == 2
+    for (src, dst, sid), out in zip(jobs, outs):
+        seq = converter.convert(src, str(tmp_path / "seq.wav"), sid,
+                                noise_scale=0.0)
+        np.testing.assert_allclose(out, seq, atol=1e-6)
+        back, out_sr = read_wav(dst)
+        assert out_sr == converter.cfg.data.target_sampling_rate
+        assert len(back) == len(out)
+
+
 def test_streamed_vs_offline_mel_closeness(converter):
     """VERDICT r1 weak #5: assert spectral closeness, not just lengths.
     noise_scale=0 makes both paths deterministic (z_p = m_p); the streamed

@@ -137,6 +137,39 @@ class VoiceConverter:
         write_wav(target_audio, out, self.cfg.data.target_sampling_rate, subtype="PCM_24")
         return out
 
+    def convert_many(
+        self,
+        jobs,
+        pitch_shift: int = 0,
+        noise_scale: float = 1.0,
+    ):
+        """Pipelined batch conversion: jobs is a sequence of
+        (source_path, output_path, speaker_id) triples.
+
+        Double-buffers host work against device work (ROADMAP item 6,
+        tunnel-aware serving): while the device converts file i, a worker
+        thread runs file i+1's host-side prepare (read/resample/pYIN —
+        the dominant host cost). Throughput approaches
+        max(host_prepare, device_convert) per file instead of their sum.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = list(jobs)
+        outs = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(self.prepare_source, jobs[0][0], pitch_shift) \
+                if jobs else None
+            for i, (src, dst, sid) in enumerate(jobs):
+                wav, true_len, pitch = fut.result()
+                if i + 1 < len(jobs):
+                    fut = pool.submit(self.prepare_source, jobs[i + 1][0],
+                                      pitch_shift)
+                out = self.convert_array(wav, pitch, sid, true_len, noise_scale)
+                write_wav(dst, out, self.cfg.data.target_sampling_rate,
+                          subtype="PCM_24")
+                outs.append(out)
+        return outs
+
     # --------------------------------------------------- flow-swap conversion
     def voice_conversion(
         self,

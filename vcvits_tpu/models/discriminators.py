@@ -39,6 +39,12 @@ class DiscriminatorP(nn.Module):
     kernel_size: int = 5
     stride: int = 3
     use_spectral_norm: bool = False  # discriminator.py:17 norm_f selection
+    # Run the whole stack period-folded: [B, T/p, p*C] grouped 1-D convs
+    # (layers.Conv2dNorm fold_w) instead of [B, T/p, p, C] NHWC. Exact —
+    # the (k,1) kernels never mix period columns, so folding the period
+    # into channels keeps p*C >= 64 lanes busy where the unfolded early
+    # layers use 1..32 of 128 (tests/test_discriminators.py parity).
+    fold_period: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -54,22 +60,30 @@ class DiscriminatorP(nn.Module):
         fmap: FeatureMaps = []
         kp = (self.kernel_size - 1) // 2
         wn, sn = not self.use_spectral_norm, self.use_spectral_norm
+        fw = p if self.fold_period else 0
+        if fw:
+            x = x.reshape(b, t // p, p * c)
+
+        def unfold(y):
+            return y.reshape(b, y.shape[1], p, -1) if fw else y
+
         for i, ch in enumerate([32, 128, 512, 1024]):
             x = Conv2dNorm(ch, (self.kernel_size, 1), strides=(self.stride, 1),
                            padding=((kp, kp), (0, 0)), weight_norm=wn,
-                           spectral_norm=sn, dtype=self.dtype,
+                           spectral_norm=sn, fold_w=fw, dtype=self.dtype,
                            name=f"conv_{i}")(x)
             x = leaky_relu(x, LRELU_SLOPE)
-            fmap.append(x)
+            fmap.append(unfold(x))
         x = Conv2dNorm(1024, (self.kernel_size, 1), strides=(1, 1),
                        padding=((kp, kp), (0, 0)), weight_norm=wn,
-                       spectral_norm=sn, dtype=self.dtype, name="conv_4")(x)
+                       spectral_norm=sn, fold_w=fw, dtype=self.dtype,
+                       name="conv_4")(x)
         x = leaky_relu(x, LRELU_SLOPE)
-        fmap.append(x)
+        fmap.append(unfold(x))
         x = Conv2dNorm(1, (3, 1), strides=(1, 1), padding=((1, 1), (0, 0)),
-                       weight_norm=wn, spectral_norm=sn, dtype=self.dtype,
-                       name="conv_post")(x)
-        fmap.append(x)
+                       weight_norm=wn, spectral_norm=sn, fold_w=fw,
+                       dtype=self.dtype, name="conv_post")(x)
+        fmap.append(unfold(x))
         return x.reshape(b, -1), fmap
 
 
@@ -118,6 +132,7 @@ class MultiPeriodDiscriminator(nn.Module):
 
     periods: Sequence[int] = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
     use_spectral_norm: bool = False
+    fold_period: bool = True  # see DiscriminatorP.fold_period
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -127,6 +142,7 @@ class MultiPeriodDiscriminator(nn.Module):
                                 dtype=self.dtype, name="disc_s")]
         heads += [
             DiscriminatorP(p, use_spectral_norm=self.use_spectral_norm,
+                           fold_period=self.fold_period,
                            dtype=self.dtype, name=f"disc_p{p}")
             for p in self.periods
         ]

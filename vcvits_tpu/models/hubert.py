@@ -218,11 +218,14 @@ class HubertModel(nn.Module):
 
     cfg: HubertConfig = field(default_factory=lambda: HUBERT_BASE)
     dtype: Dtype = jnp.float32
+    im2col_first: bool = True  # see ConvFeatureExtractor.im2col_first
 
     @nn.compact
     def __call__(self, wav: jax.Array, frame_mask: Optional[jax.Array] = None) -> jax.Array:
         c = self.cfg
-        feats = ConvFeatureExtractor(c, dtype=self.dtype, name="feature_extractor")(wav)
+        feats = ConvFeatureExtractor(c, dtype=self.dtype,
+                                     im2col_first=self.im2col_first,
+                                     name="feature_extractor")(wav)
         # fairseq HubertModel: layer_norm over conv features, then projection.
         feats = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="feat_ln")(feats)
         x = nn.Dense(c.hidden_size, dtype=self.dtype, name="post_extract_proj",

@@ -252,9 +252,16 @@ class Conv2dNorm(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Dtype = jnp.float32
 
+    # fold_w > 0: the W (period) axis is folded into channels — input is
+    # [B, H, W*Cin] and the (kh, 1) conv runs as ONE grouped 1-D conv with
+    # feature_group_count = W and the per-column-shared kernel tiled across
+    # groups. Same params, same outputs; W*C channels stay on the lanes
+    # (the unfolded early layers use 1..32 of 128 lanes). ROADMAP item 5.
+    fold_w: int = 0
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // max(self.fold_w, 1)
         kshape = (*self.kernel_size, in_ch, self.features)
         if self.spectral_norm:
             v = self.param("v", self.kernel_init, kshape, jnp.float32)
@@ -265,6 +272,21 @@ class Conv2dNorm(nn.Module):
             kernel = (g * v / jnp.maximum(_norm_except_last(v), 1e-12)).astype(self.dtype)
         else:
             kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32).astype(self.dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.fold_w > 0:
+            assert self.kernel_size[1] == 1 and self.strides[1] == 1 and \
+                self.padding[1] == (0, 0), "fold_w needs a (kh, 1) conv"
+            w = self.fold_w
+            k1 = jnp.tile(kernel[:, 0], (1, 1, w))  # [kh, in, W*out]
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k1,
+                window_strides=(self.strides[0],),
+                padding=[self.padding[0]],
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=w,
+                precision=conv_precision(self.dtype),
+            )
+            return y + jnp.tile(b.astype(self.dtype), w)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel,
@@ -273,7 +295,6 @@ class Conv2dNorm(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=conv_precision(self.dtype),
         )
-        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         return y + b.astype(self.dtype)
 
 
