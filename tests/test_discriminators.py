@@ -100,3 +100,22 @@ def test_period_fold_exact():
             assert a.shape == b.shape
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-5)
+
+
+def test_batch_pair_exact():
+    """batch_pair=True (one concatenated real|generated pass per head) is
+    numerically the separate-pass evaluation for both MPD and MSD."""
+    import jax
+
+    y = jax.random.normal(jax.random.PRNGKey(0), (2, 2048, 1))
+    yh = jax.random.normal(jax.random.PRNGKey(1), (2, 2048, 1))
+    for cls, kw in ((MultiPeriodDiscriminator, {"periods": (2, 3)}),
+                    (MultiScaleDiscriminator, {"n_scales": 3})):
+        paired = cls(batch_pair=True, **kw)
+        plain = cls(batch_pair=False, **kw)
+        params = paired.init(jax.random.PRNGKey(2), y, yh)["params"]
+        out1 = paired.apply({"params": params}, y, yh)
+        out0 = plain.apply({"params": params}, y, yh)
+        for a, b in zip(jax.tree.leaves(out1), jax.tree.leaves(out0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)

@@ -5,6 +5,7 @@ require bit-exact equality — both checkpoint directions work (ROADMAP
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vcvits_tpu.config import Config
 from vcvits_tpu.convert.export_torch import (
@@ -52,6 +53,7 @@ def _assert_tree_equal(a, b, path=""):
                 err_msg=f"{path}/{k}")
 
 
+@pytest.mark.slow
 def test_generator_roundtrip():
     from vcvits_tpu.models.synthesizer import SynthesizerSVC
 

@@ -228,3 +228,27 @@ def test_tts_forward_and_infer(tts_model, rng):
     assert o2.shape == (b, 64 * 512, 1)
     assert np.isfinite(np.asarray(o2)).all()
     assert float(np.asarray(y_mask2).sum()) > 0
+
+
+def test_tts_dataset_add_blank(tmp_path):
+    """add_blank intersperses blank id 0 between symbols (VITS data option)."""
+    import numpy as np
+
+    from vcvits_tpu.config import Config
+    from vcvits_tpu.data.tts_dataset import TTSDataset
+    from vcvits_tpu.utils.audio_io import write_wav
+
+    cfg = Config().data
+    sr = cfg.target_sampling_rate
+    wav = (0.1 * np.sin(2 * np.pi * 220 * np.arange(sr // 4) / sr)).astype(np.float32)
+    p = tmp_path / "a.wav"
+    write_wav(str(p), wav, sr)
+    fl = tmp_path / "fl.txt"
+    fl.write_text(f"{p}|0|hi\n")
+    plain = TTSDataset(str(fl), cfg, cache_dir=str(tmp_path / "c1"),
+                       add_blank=False)[0]["text"]
+    blanked = TTSDataset(str(fl), cfg, cache_dir=str(tmp_path / "c2"),
+                         add_blank=True)[0]["text"]
+    assert len(blanked) == 2 * len(plain) + 1
+    assert (blanked[::2] == 0).all()
+    assert (blanked[1::2] == plain).all()

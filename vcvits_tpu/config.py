@@ -71,9 +71,13 @@ class TrainConfig:
     pallas_frontend: bool = True
     # True = reference-exact D-step semantics (vcvits.py:151-183): recompute
     # the generator forward with post-update G weights and fresh random
-    # slices before the D update. False (default) reuses the G step's y_hat
-    # under stop_gradient — half the generator FLOPs, standard practice.
-    d_recompute_forward: bool = False
+    # slices before the D update (the reference's exact semantics,
+    # vcvits.py:151-183). A measured 5k-step A/B (reports/ab_dstep_r2.json,
+    # tools/ab_dstep.py) shows this converges markedly better than reusing
+    # the G step's y_hat (mel 17.7 vs 22.8 over steps 4100-5000, with a
+    # healthier D loss) — so reference semantics are the default; set False
+    # to save the extra generator forward per step.
+    d_recompute_forward: bool = True
 
 
 @dataclass(frozen=True)

@@ -133,6 +133,11 @@ class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
     use_spectral_norm: bool = False
     fold_period: bool = True  # see DiscriminatorP.fold_period
+    # Run (real, generated) through each head as ONE batch-concatenated
+    # pass: halves the number of conv chains per step (convs are
+    # batch-parallel, so results are identical; larger batch tiles the
+    # MXU better than two small passes).
+    batch_pair: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -146,9 +151,16 @@ class MultiPeriodDiscriminator(nn.Module):
                            dtype=self.dtype, name=f"disc_p{p}")
             for p in self.periods
         ]
+        b = y.shape[0]
         for head in heads:
-            lr, fr = head(y)
-            lg, fg = head(y_hat)
+            if self.batch_pair:
+                l, f = head(jnp.concatenate([y, y_hat], axis=0))
+                lr, lg = l[:b], l[b:]
+                fr = [a[:b] for a in f]
+                fg = [a[b:] for a in f]
+            else:
+                lr, fr = head(y)
+                lg, fg = head(y_hat)
             logits_r.append(lr)
             logits_g.append(lg)
             fmaps_r.append(fr)
@@ -161,20 +173,32 @@ class MultiScaleDiscriminator(nn.Module):
 
     n_scales: int = 5
     use_spectral_norm: bool = False  # applies to the first (full-rate) head only
+    batch_pair: bool = True  # see MultiPeriodDiscriminator.batch_pair
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, y: jax.Array, y_hat: jax.Array):
         logits_r, logits_g, fmaps_r, fmaps_g = [], [], [], []
+        b = y.shape[0]
+        x = jnp.concatenate([y, y_hat], axis=0) if self.batch_pair else None
         for i in range(self.n_scales):
             if i != 0:
-                y = _avg_pool_4_2(y)
-                y_hat = _avg_pool_4_2(y_hat)
+                if self.batch_pair:
+                    x = _avg_pool_4_2(x)
+                else:
+                    y = _avg_pool_4_2(y)
+                    y_hat = _avg_pool_4_2(y_hat)
             head = DiscriminatorS(
                 use_spectral_norm=self.use_spectral_norm and i == 0,
                 dtype=self.dtype, name=f"disc_{i}")
-            lr, fr = head(y)
-            lg, fg = head(y_hat)
+            if self.batch_pair:
+                l, f = head(x)
+                lr, lg = l[:b], l[b:]
+                fr = [a[:b] for a in f]
+                fg = [a[b:] for a in f]
+            else:
+                lr, fr = head(y)
+                lg, fg = head(y_hat)
             logits_r.append(lr)
             logits_g.append(lg)
             fmaps_r.append(fr)

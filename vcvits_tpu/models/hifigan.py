@@ -120,9 +120,21 @@ class HiFiGANGenerator(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, g: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, g: Optional[jax.Array] = None,
+                 fused_mrf: bool = False) -> jax.Array:
+        """fused_mrf=True runs each stage's MRF as one Pallas kernel
+        (ops/mrf_pallas.py) when its weights fit VMEM — inference only
+        (no VJP); parameters and outputs are identical either way."""
         res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
         num_kernels = len(self.resblock_kernel_sizes)
+        use_fused = (fused_mrf and self.resblock == "1"
+                     and not self.is_initializing()
+                     and jax.devices()[0].platform == "tpu")
+        if use_fused:
+            from vcvits_tpu.ops.mrf_pallas import (
+                _VMEM_WEIGHT_BUDGET, fold_resblock_weights, mrf_fused,
+                mrf_weight_bytes)
+            from vcvits_tpu.ops.folded_conv import fold_time
 
         x = Conv1d(self.upsample_initial_channel, 7, padding=(3, 3), weight_norm=True,
                    dtype=self.dtype, name="conv_pre")(x)
@@ -150,14 +162,30 @@ class HiFiGANGenerator(nn.Module):
                 x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
                                     weight_norm=True, kernel_init=normal_init(),
                                     dtype=self.dtype, name=f"up_{i}")(x)
-            xs = None
-            for j, (rk, rd) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
-            ):
-                block = res_cls(ch, rk, tuple(rd), fold=fold, dtype=self.dtype,
-                                name=f"res_{i}_{j}")
-                xs = block(x) if xs is None else xs + block(x)
-            x = xs / num_kernels
+            itemsize = jnp.dtype(self.dtype).itemsize
+            if use_fused and mrf_weight_bytes(
+                    ch, self.resblock_kernel_sizes,
+                    self.resblock_dilation_sizes,
+                    itemsize) <= _VMEM_WEIGHT_BUDGET:
+                xu = unfold_time(x, fold)
+                blocks = [
+                    fold_resblock_weights(
+                        self.variables["params"][f"res_{i}_{j}"], "1",
+                        len(rd), self.dtype)
+                    for j, rd in enumerate(self.resblock_dilation_sizes)
+                ]
+                xu = mrf_fused(xu, blocks, self.resblock_kernel_sizes,
+                               self.resblock_dilation_sizes)
+                x = fold_time(xu, fold)
+            else:
+                xs = None
+                for j, (rk, rd) in enumerate(
+                    zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+                ):
+                    block = res_cls(ch, rk, tuple(rd), fold=fold, dtype=self.dtype,
+                                    name=f"res_{i}_{j}")
+                    xs = block(x) if xs is None else xs + block(x)
+                x = xs / num_kernels
 
         x = leaky_relu(x, 0.01)  # final activation uses torch's default slope
         x = Conv1d(1, 7, padding=(3, 3), weight_norm=True, fold=fold,

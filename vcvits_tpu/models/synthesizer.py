@@ -64,6 +64,20 @@ class SynthesizerSVC(nn.Module):
     n_speakers: int = 0
     gin_channels: int = 0
     hubert_cfg: Optional[HubertConfig] = None  # override (tests / custom sizes)
+    # Inference-only fused Pallas kernels — both measured on a v5e and
+    # defaulted OFF because XLA holds its own (ROADMAP item 4):
+    # * pallas_flow (ops/flow_pallas.py): whole coupling reverse in one
+    #   VMEM-resident kernel. Bit-exact on chip; timing tied the XLA path
+    #   (30.9 vs 31.0 ms incl. tunnel sync) — XLA already pipelines the
+    #   small sequential convs well.
+    # * pallas_mrf (ops/mrf_pallas.py): per-stage fused MRF. Correct
+    #   (1e-5) but SLOWER than the space-to-depth folded XLA path
+    #   (62.0 vs 47.2 ms decoder fwd): sub-128-channel tiles waste lanes
+    #   in-kernel, while the folded path keeps 128 lanes busy.
+    # Both kernels stay available (flags + tests + tools/bench_{flow,mrf})
+    # as the measured record and for future shapes where they may win.
+    pallas_flow: bool = False
+    pallas_mrf: bool = False
     dtype: Dtype = jnp.float32
 
     @classmethod
@@ -133,6 +147,19 @@ class SynthesizerSVC(nn.Module):
             return self.emb_g(sid)  # [B, gin]
         return None
 
+    def _flow_reverse(self, z_p: jax.Array, y_mask: jax.Array,
+                      g: Optional[jax.Array]) -> jax.Array:
+        """Flow reverse: fused Pallas kernel on TPU, module path otherwise
+        (and during init, where the module must create its params)."""
+        if (self.pallas_flow and not self.is_initializing()
+                and jax.devices()[0].platform == "tpu"):
+            from vcvits_tpu.ops.flow_pallas import flow_reverse_fused
+
+            return flow_reverse_fused(
+                self.flow.variables["params"], z_p, y_mask, g=g
+            ).astype(z_p.dtype)
+        return self.flow(z_p, y_mask, g=g, reverse=True)
+
     def __call__(
         self,
         x_wav: jax.Array,
@@ -198,12 +225,12 @@ class SynthesizerSVC(nn.Module):
 
         eps = jax.random.normal(rng, m_p.shape, m_p.dtype)
         z_p = m_p + eps * jnp.exp(logs_p) * noise_scale
-        z = self.flow(z_p, y_mask, g=g, reverse=True)
+        z = self._flow_reverse(z_p, y_mask, g=g)
         z = z * y_mask
         if max_len is not None:
             z = z[:, :max_len]
             y_mask = y_mask[:, :max_len]
-        o = self.dec(z, g=g)
+        o = self.dec(z, g=g, fused_mrf=self.pallas_mrf)
         return o, y_mask, (z, z_p, m_p, logs_p)
 
     def voice_conversion(
@@ -223,6 +250,6 @@ class SynthesizerSVC(nn.Module):
         g_tgt = self.emb_g(sid_tgt)
         z, m_q, logs_q, y_mask = self.enc_q(y_spec, y_spec_lengths, g=g_src, rng=rng)
         z_p = self.flow(z, y_mask, g=g_src)
-        z_hat = self.flow(z_p, y_mask, g=g_tgt, reverse=True)
-        o_hat = self.dec(z_hat * y_mask, g=g_tgt)
+        z_hat = self._flow_reverse(z_p, y_mask, g=g_tgt)
+        o_hat = self.dec(z_hat * y_mask, g=g_tgt, fused_mrf=self.pallas_mrf)
         return o_hat, y_mask, (z, z_p, z_hat)
