@@ -22,7 +22,7 @@ def _params(t=64, seed=0):
     return blocks, params, x
 
 
-@pytest.mark.parametrize("tile", [16, 64, None])
+@pytest.mark.parametrize("tile", [16, None])
 def test_mrf_fused_matches_modules(tile):
     blocks, params, x = _params()
     ref = sum(b.apply({"params": p}, x) for b, p in zip(blocks, params))

@@ -41,10 +41,14 @@ class DiscriminatorP(nn.Module):
     use_spectral_norm: bool = False  # discriminator.py:17 norm_f selection
     # Run the whole stack period-folded: [B, T/p, p*C] grouped 1-D convs
     # (layers.Conv2dNorm fold_w) instead of [B, T/p, p, C] NHWC. Exact —
-    # the (k,1) kernels never mix period columns, so folding the period
-    # into channels keeps p*C >= 64 lanes busy where the unfolded early
-    # layers use 1..32 of 128 (tests/test_discriminators.py parity).
-    fold_period: bool = True
+    # the (k,1) kernels never mix period columns (tests parity). Measured
+    # on a v5e train step (tools/bench_train_step.py, B=8 x 4 s bf16):
+    # folding won 212 vs 265 ms/step when each head ran real and generated
+    # separately, but with batch_pair=True (default, 2x batch per head)
+    # the plain NHWC path wins 168 vs 186 — enough batch parallelism makes
+    # the lane waste moot while the folded path still pays kernel tiling.
+    # Hence default False; the folded path remains for small-batch runs.
+    fold_period: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -132,7 +136,7 @@ class MultiPeriodDiscriminator(nn.Module):
 
     periods: Sequence[int] = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
     use_spectral_norm: bool = False
-    fold_period: bool = True  # see DiscriminatorP.fold_period
+    fold_period: bool = False  # see DiscriminatorP.fold_period
     # Run (real, generated) through each head as ONE batch-concatenated
     # pass: halves the number of conv chains per step (convs are
     # batch-parallel, so results are identical; larger batch tiles the
