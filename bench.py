@@ -125,37 +125,44 @@ def main() -> None:
     best_batch = max(batched) if batched else 1
     utt_per_s = batched.get(best_batch, {}).get("utt_per_s", round(1.0 / t1, 2))
 
-    # ---- 3) train steps/s (full GAN step, bf16) ------------------------
+    # ---- 3) train steps/s (full GAN step incl. reference-exact D-step
+    #         recompute, bf16) at B=8 and the reference config's B=16 ----
     train_sps = None
+    train_detail = {}
     try:
         from vcvits_tpu.train.state import create_train_state
         from vcvits_tpu.train.step import init_params, make_train_step
 
-        tb, tsec = 8, 4.0
+        tsec = 4.0
         txw = int(16000 * tsec) // 2560 * 2560
         tyw = txw * 3
-        r = np.random.default_rng(7)
-        batch = {
-            "x_wav": jnp.asarray(r.standard_normal((tb, txw)).astype(np.float32) * 0.05),
-            "x_wav_lengths": jnp.full((tb,), txw, jnp.int32),
-            "x_pitch": jnp.asarray(r.integers(1, cfg.model.num_pitch, (tb, txw // 320))),
-            "y_wav": jnp.asarray(r.standard_normal((tb, tyw)).astype(np.float32) * 0.05),
-            "y_wav_lengths": jnp.full((tb,), tyw, jnp.int32),
-            "sid": jnp.arange(tb, dtype=jnp.int32),
-        }
-        gp, dp = init_params(cfg, jax.random.PRNGKey(1), batch, dtype=jnp.bfloat16)
-        state = create_train_state(cfg, gp, dp, steps_per_epoch=1000)
         step = jax.jit(make_train_step(cfg, dtype=jnp.bfloat16, steps_per_epoch=1000),
                        donate_argnums=(0,))
-        state, metrics = step(state, batch, jax.random.PRNGKey(2))
-        float(metrics["loss/g/total"])  # sync
-        ts = []
-        for i in range(5):
-            t0 = time.perf_counter()
-            state, metrics = step(state, batch, jax.random.PRNGKey(3 + i))
-            float(metrics["loss/g/total"])
-            ts.append(time.perf_counter() - t0)
-        train_sps = round(1.0 / float(np.median(ts)), 2)
+        for tb in (8, 16):
+            r = np.random.default_rng(7)
+            batch = {
+                "x_wav": jnp.asarray(r.standard_normal((tb, txw)).astype(np.float32) * 0.05),
+                "x_wav_lengths": jnp.full((tb,), txw, jnp.int32),
+                "x_pitch": jnp.asarray(r.integers(1, cfg.model.num_pitch, (tb, txw // 320))),
+                "y_wav": jnp.asarray(r.standard_normal((tb, tyw)).astype(np.float32) * 0.05),
+                "y_wav_lengths": jnp.full((tb,), tyw, jnp.int32),
+                "sid": jnp.arange(tb, dtype=jnp.int32),
+            }
+            gp, dp = init_params(cfg, jax.random.PRNGKey(1), batch, dtype=jnp.bfloat16)
+            state = create_train_state(cfg, gp, dp, steps_per_epoch=1000)
+            state, metrics = step(state, batch, jax.random.PRNGKey(2))
+            float(metrics["loss/g/total"])  # sync
+            ts = []
+            for i in range(5):
+                t0 = time.perf_counter()
+                state, metrics = step(state, batch, jax.random.PRNGKey(3 + i))
+                float(metrics["loss/g/total"])
+                ts.append(time.perf_counter() - t0)
+            med = float(np.median(ts))
+            train_detail[tb] = {"steps_per_s": round(1.0 / med, 2),
+                                "audio_s_per_s": round(tb * tsec / med, 1)}
+            if tb == 8:
+                train_sps = train_detail[tb]["steps_per_s"]
     except Exception:
         pass
 
@@ -168,6 +175,7 @@ def main() -> None:
             "batched_utt_per_s_chip": utt_per_s,
             "batched_detail_10s_bf16": batched,
             "train_steps_per_s_b8_4s_bf16": train_sps,
+            "train_detail_4s_bf16_d_recompute": train_detail,
             "mfu_infer_bf16": round(mfu, 4) if mfu else None,
             "decoder_fold_tail": True,
         },

@@ -109,6 +109,13 @@ class TTSTrainer:
                                 step_no, float(metrics["loss/g/total"]),
                                 float(metrics["loss/d/total"]),
                                 float(metrics["loss/g/dur"]))
+                if (step_no % cfg.train.eval_interval == 0
+                        and len(ds.items) > 0):
+                    try:
+                        self.log_validation(state, step_no, ds.items[0][2],
+                                            sid=int(ds.items[0][1]))
+                    except Exception:  # validation must never kill training
+                        logger.exception("TTS validation logging failed")
                 if step_no % cfg.train.checkpoint_interval == 0:
                     self.ckpt.save(step_no, state)
         if state is not None:
@@ -125,7 +132,7 @@ class TTSTrainer:
 
     # ---------------------------------------------------------------- sample
     def synthesize(self, state_or_params, text: str, sid: int = 0,
-                   max_frames: int = 1024) -> np.ndarray:
+                   max_frames: int = 1024, return_alignment: bool = False):
         """Text -> waveform with the current params (validation aid)."""
         from vcvits_tpu.text import text_to_sequence
 
@@ -143,4 +150,31 @@ class TTSTrainer:
             method=SynthesizerTTS.infer,
         )
         n_valid = int(np.asarray(y_mask)[0].sum()) * self.cfg.data.hop_length
-        return np.asarray(o)[0, :n_valid, 0]
+        wav = np.asarray(o)[0, :n_valid, 0]
+        if return_alignment:
+            return wav, np.asarray(attn)[0]
+        return wav
+
+    def log_validation(self, state, step_no: int, text: str, sid: int = 0):
+        """Synthesize a fixed sentence; log audio + mel + the duration
+        alignment image (reference utils.py:79-131 plot capability)."""
+        from vcvits_tpu.dsp.spectrogram import mel_spectrogram
+        from vcvits_tpu.utils.logging import alignment_to_image, mel_to_image
+
+        d = self.cfg.data
+        wav, attn = self.synthesize(state, text, sid=sid, return_alignment=True)
+        images = {}
+        if attn.ndim >= 2:
+            a2 = attn if attn.ndim == 2 else attn.reshape(attn.shape[-2], attn.shape[-1])
+            images["val/alignment"] = alignment_to_image(a2)
+        t = (len(wav) // d.hop_length) * d.hop_length
+        if t > 0:
+            mel = np.asarray(mel_spectrogram(
+                jnp.asarray(wav[:t])[None], d.filter_length, d.n_mel_channels,
+                d.target_sampling_rate, d.hop_length, d.win_length,
+                d.mel_fmin, d.mel_fmax))[0]
+            images["val/mel"] = mel_to_image(mel)
+        self.tb.summarize(step_no, images=images,
+                          audios={"val/audio": wav},
+                          audio_sampling_rate=d.target_sampling_rate)
+        self.tb.flush()

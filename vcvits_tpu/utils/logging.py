@@ -30,6 +30,22 @@ def mel_to_image(mel: np.ndarray) -> np.ndarray:
     return img.transpose(2, 0, 1)
 
 
+def alignment_to_image(attn: np.ndarray) -> np.ndarray:
+    """[T_text, T_spec] attention/alignment -> [3, T_text, T_spec] uint8
+    image (reference utils.plot_alignment_to_numpy, utils.py:100-115)."""
+    a = np.asarray(attn, dtype=np.float32)
+    lo, hi = float(a.min()), float(a.max())
+    norm = (a - lo) / max(hi - lo, 1e-6)
+    try:
+        import matplotlib.cm as cm
+
+        rgba = cm.viridis(norm)
+        img = (rgba[..., :3] * 255).astype(np.uint8)
+    except Exception:
+        img = (np.stack([norm] * 3, -1) * 255).astype(np.uint8)
+    return img.transpose(2, 0, 1)
+
+
 class TensorBoardLogger:
     def __init__(self, logdir: str):
         self.logdir = logdir
