@@ -103,7 +103,7 @@ def main() -> None:
 
     # ---- 2) batched throughput (utterances/sec/chip) ------------------
     batched = {}
-    for batch in (8, 16):
+    for batch in (8, 16, 32):
         wavb, pitchb = make_inputs(0, batch)
         lensb = jnp.full((batch,), t_wav, jnp.int32)
         sidb = jnp.arange(batch, dtype=jnp.int32) % cfg.data.n_speakers
@@ -176,6 +176,8 @@ def main() -> None:
             "batched_detail_10s_bf16": batched,
             "train_steps_per_s_b8_4s_bf16": train_sps,
             "train_detail_4s_bf16_d_recompute": train_detail,
+            # NB: mfu divides by wall time INCLUDING the ~25-30 ms tunnel
+            # sync (tools/bench_stages.py), so device MFU is ~2x this.
             "mfu_infer_bf16": round(mfu, 4) if mfu else None,
             "decoder_fold_tail": True,
         },
