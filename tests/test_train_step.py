@@ -110,3 +110,27 @@ def test_d_recompute_forward_variant(cfg, batch):
     for k, v in m1.items():
         assert np.isfinite(np.asarray(v)).all(), f"{k} not finite: {v}"
     assert int(state1.step) == 1
+
+
+@pytest.mark.slow
+def test_grad_accumulation_semantics(cfg, batch):
+    """trainer.accumulate_grad_batches=N (optax.MultiSteps, the reference's
+    Lightning accumulate_grad_batches capability): params hold still for
+    N-1 micro-steps, then apply the averaged update."""
+    import dataclasses
+
+    acc_cfg = dataclasses.replace(
+        cfg, trainer=dataclasses.replace(cfg.trainer, accumulate_grad_batches=2))
+    g_params, d_params = init_params(acc_cfg, jax.random.PRNGKey(0), batch,
+                                     hubert_cfg=TINY_HUBERT)
+    state = create_train_state(acc_cfg, g_params, d_params)
+    step = jax.jit(make_train_step(acc_cfg, hubert_cfg=TINY_HUBERT))
+
+    p0 = jax.device_get(state.g_params["enc_p"]["proj"]["kernel"])
+    state1, _ = step(state, batch, jax.random.PRNGKey(1))
+    p1 = jax.device_get(state1.g_params["enc_p"]["proj"]["kernel"])
+    np.testing.assert_array_equal(p0, p1)  # micro-step 1: update held
+
+    state2, _ = step(state1, batch, jax.random.PRNGKey(2))
+    p2 = jax.device_get(state2.g_params["enc_p"]["proj"]["kernel"])
+    assert np.abs(p2 - p1).max() > 0  # micro-step 2: accumulated update lands
