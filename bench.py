@@ -88,6 +88,22 @@ def main() -> None:
     t1 = float(np.median(times))
     rtf = audio_seconds / t1
 
+    # Pipelined single-utterance RTF: dispatch K conversions back-to-back
+    # and sync once — amortizes the ~25-30 ms tunnel round trip that
+    # dominates t1 (tools/bench_stages.py), approximating device-side
+    # serving throughput for sequential requests.
+    k_pipe = 8
+    digests = []
+    t0 = time.perf_counter()
+    for i in range(k_pipe):
+        wav, pitch = make_inputs(50 + i, 1)
+        _, dg = infer(params, wav, x_lens1, pitch, sid1, jax.random.PRNGKey(50 + i))
+        digests.append(dg)
+    for dg in digests:
+        float(dg)
+    t_pipe = (time.perf_counter() - t0) / k_pipe
+    rtf_pipelined = audio_seconds / t_pipe
+
     # MFU from XLA's own cost model for the compiled single-utterance fwd
     mfu = None
     try:
@@ -172,6 +188,7 @@ def main() -> None:
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 20.0, 2),
         "extra": {
+            "rtf_pipelined_sync_amortized": round(rtf_pipelined, 1),
             "batched_utt_per_s_chip": utt_per_s,
             "batched_detail_10s_bf16": batched,
             "train_steps_per_s_b8_4s_bf16": train_sps,

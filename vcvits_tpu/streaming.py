@@ -33,7 +33,7 @@ the z_p stream is invariant to how the audio was chunked.
 from __future__ import annotations
 
 from functools import partial
-from typing import Iterator, List, Optional
+from typing import Iterator, Optional
 
 import numpy as np
 
