@@ -16,8 +16,6 @@ import dataclasses
 import logging
 import os
 
-import os
-
 # persistent XLA compile cache: repeat runs skip the (minutes-long) compiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/vcvits_tpu_xla"))
@@ -46,6 +44,9 @@ def main() -> None:
                              "HuBERT forward every step")
     parser.add_argument("--preload-dump", action="store_true",
                         help="dump precomputed HuBERT features and exit")
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="override train.batch_size (measured scaling: "
+                             "larger batches raise audio-s/s; see PARITY.md)")
     parser.add_argument("--model-parallel", type=int, default=1,
                         help="tensor-parallel degree over the 'model' mesh "
                              "axis (wide matmuls sharded, XLA collectives "
@@ -70,6 +71,10 @@ def main() -> None:
     get_logger(args.workdir).info("train.py args: %s", vars(args))
 
     cfg = load_config(args.config)
+    if args.batch_size:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, batch_size=args.batch_size)
+        )
     if args.cachedir:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, cache_dir=args.cachedir)
