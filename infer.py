@@ -45,6 +45,16 @@ def main() -> None:
 
     cfg = load_config(args.config) if args.config else None
     vc = VoiceConverter.from_checkpoint(args.workdir, cfg=cfg)
+
+    if len(args.source) > 1:
+        # colliding basenames would silently overwrite one another
+        names = [os.path.basename(s) for s in args.source]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            parser.error(f"multiple sources share basename(s) {sorted(dupes)}; "
+                         f"outputs would overwrite — rename or run separately")
+        os.makedirs(args.output, exist_ok=True)
+
     if args.vc_source_sid is not None:
         for src in args.source:
             out = (os.path.join(args.output, os.path.basename(src))
@@ -56,7 +66,6 @@ def main() -> None:
                    pitch_shift=args.pitch_shift, noise_scale=args.noise_scale)
         print(f"wrote {args.output}")
     else:
-        os.makedirs(args.output, exist_ok=True)
         jobs = [(src, os.path.join(args.output, os.path.basename(src)), args.sid)
                 for src in args.source]
         vc.convert_many(jobs, pitch_shift=args.pitch_shift,

@@ -90,7 +90,9 @@ def test_convert_many_pipelined(converter, tmp_path):
         srcs.append(p)
 
     jobs = [(s, str(tmp_path / f"out{i}.wav"), 1) for i, s in enumerate(srcs)]
-    outs = converter.convert_many(jobs, noise_scale=0.0)
+    paths = converter.convert_many(jobs, noise_scale=0.0)
+    assert paths == [dst for _, dst, _ in jobs]  # default: O(1) memory, paths only
+    outs = converter.convert_many(jobs, noise_scale=0.0, collect_audio=True)
     assert len(outs) == 2
     for (src, dst, sid), out in zip(jobs, outs):
         seq = converter.convert(src, str(tmp_path / "seq.wav"), sid,
@@ -201,5 +203,5 @@ def test_incremental_streaming_matches_offline(converter):
     assert rel < 0.5 * rel_bad
 
     # state is fixed-size: streaming forever costs O(1) memory
-    sizes = {k: v.shape for k, v in sc._dec_state.items() if k != "__n"}
+    sizes = {k: v.shape for k, v in sc._dec_state.items() if not k.startswith("__n")}
     assert all(np.prod(s) < 1e6 for s in sizes.values())

@@ -96,10 +96,10 @@ def test_state_is_static_and_small():
     sfd = StreamingFlowDecoder(model, {"flow": pf, "dec": pd}, 8)
     sfd.bind({"flow": pf, "dec": pd})
     state = sfd.init_state()
-    sizes0 = {k: v.shape for k, v in state.items() if k != "__n"}
+    sizes0 = {k: v.shape for k, v in state.items() if not k.startswith("__n")}
     z = jnp.ones((1, 8, INTER))
     for _ in range(5):
         _, state = sfd.step(state, z, g)
-    sizes5 = {k: v.shape for k, v in state.items() if k != "__n"}
+    sizes5 = {k: v.shape for k, v in state.items() if not k.startswith("__n")}
     assert sizes0 == sizes5
     assert int(state["__n"]) == 5

@@ -50,6 +50,42 @@ def test_latin_accents_stripped():
 
 
 def test_untransliterable_dropped_not_crashed():
-    out = to_ascii("漢字 and kana かな")
-    assert "kana" in out and "kana" in out
-    assert "漢" not in out
+    out = to_ascii("𩸽 and kana かな")  # hokke kanji: not in the vendored table
+    assert "kana" in out
+    assert "𩸽" not in out
+
+
+def test_common_kanji_get_japanese_readings():
+    # Vendored table (text/kanji.py): Japanese readings, not unidecode's
+    # Mandarin-derived ones ("日本" must NOT become "ri ben").
+    out = japanese_cleaners("日本")
+    assert "hi" in out and "hon" in out and "ben" not in out
+    out = japanese_cleaners("山と海")
+    assert "yama" in out and "umi" in out
+
+
+def test_mixed_kanji_kana_keeps_all_covered_tokens():
+    out = japanese_cleaners("私はラーメンが好き")
+    assert "watashi" in out and "ra-men" in out and "kou" in out
+
+
+def test_drop_warning_is_per_text_not_once(caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="vcvits_tpu.text.translit"):
+        to_ascii("𩸽")
+        first = sum("dropped" in r.message for r in caplog.records)
+        to_ascii("𩸽")
+        second = sum("dropped" in r.message for r in caplog.records)
+    assert first == 1 and second == 2  # warns every time, names the chars
+    assert any("𩸽" in (r.args[1] if r.args else "") or "𩸽" in r.getMessage()
+               for r in caplog.records)
+
+
+def test_strict_mode_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="untransliterable"):
+        to_ascii("𩸽", strict=True)
+    # covered input does not raise in strict mode
+    assert to_ascii("日本かな", strict=True).strip()

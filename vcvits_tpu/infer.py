@@ -142,6 +142,7 @@ class VoiceConverter:
         jobs,
         pitch_shift: int = 0,
         noise_scale: float = 1.0,
+        collect_audio: bool = False,
     ):
         """Pipelined batch conversion: jobs is a sequence of
         (source_path, output_path, speaker_id) triples.
@@ -151,6 +152,10 @@ class VoiceConverter:
         thread runs file i+1's host-side prepare (read/resample/pYIN —
         the dominant host cost). Throughput approaches
         max(host_prepare, device_convert) per file instead of their sum.
+
+        Returns the output paths. Results are already on disk; pass
+        ``collect_audio=True`` to additionally get the waveforms back
+        (O(total audio) memory — avoid on large batches).
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -167,7 +172,7 @@ class VoiceConverter:
                 out = self.convert_array(wav, pitch, sid, true_len, noise_scale)
                 write_wav(dst, out, self.cfg.data.target_sampling_rate,
                           subtype="PCM_24")
-                outs.append(out)
+                outs.append(out if collect_audio else dst)
         return outs
 
     # --------------------------------------------------- flow-swap conversion

@@ -25,11 +25,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def distributed_init(**kwargs) -> None:
-    """jax.distributed.initialize for multi-host slices; no-op if single."""
+    """jax.distributed.initialize for multi-host slices.
+
+    Fails LOUDLY on genuine init failures (wrong coordinator address,
+    firewalled port, bad process count) — the reference crashes visibly
+    when DDP misconfigures (/root/reference/train.py:99-100) and silently
+    degrading to single-host training would be strictly worse. Only the
+    benign cases are tolerated:
+
+    * already initialized (re-entrant call, e.g. tests) — no-op;
+    * no coordinator configured at all (plain single-process run, when
+      called with no kwargs and no cluster env) — no-op;
+    * ``VCVITS_NO_DISTRIBUTED=1`` env escape hatch — skip entirely.
+    """
+    import os
+
+    if os.environ.get("VCVITS_NO_DISTRIBUTED") == "1":
+        return
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
-        pass  # already initialized or single-process
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "already" in msg and "initial" in msg:
+            return  # re-entrant call; fine
+        raise
+    except ValueError as e:
+        # jax raises ValueError when no coordinator can be auto-detected;
+        # with no explicit kwargs that just means "single process".
+        if not kwargs:
+            return
+        raise
+    if jax.process_count() > 1:
+        print(
+            f"[vcvits_tpu] distributed init ok: process "
+            f"{jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+        )
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1,

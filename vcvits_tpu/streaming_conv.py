@@ -360,6 +360,7 @@ class StreamingFlowDecoder:
         assert self.delay_samples is not None, "call prepare(params) first"
         bufs = {k: jnp.zeros(v, self.dtype) for k, v in self._spec.items()}
         bufs["__n"] = jnp.zeros((), jnp.int32)
+        bufs["__n_host"] = 0  # host-mirrored chunk counter (no device sync)
         return bufs
 
     def flush_chunks(self) -> int:
@@ -377,14 +378,27 @@ class StreamingFlowDecoder:
         while the stream is still live."""
         assert self._params is not None, "call bind(params) first"
         n = state["__n"]
-        bufs = {k: v for k, v in state.items() if k != "__n"}
+        n_host = int(state.get("__n_host", 0))
+        bufs = {k: v for k, v in state.items()
+                if k not in ("__n", "__n_host")}
         # sentinel kept small enough that L * R (R <= 512) stays in int32;
-        # 2^21 input frames ≈ 6 h of audio, far past any single stream
+        # 2^21 input frames ≈ 6 h of audio at 48 kHz / hop 512. Past it the
+        # zero-invariant masking would emit silence, so fail LOUDLY first
+        # (checked against the host-mirrored counter — no device sync).
+        if total_frames is None and (n_host + 1) * self.chunk_frames >= 2 ** 21:
+            raise RuntimeError(
+                f"live stream exceeded {2**21} input frames (~6 h): the "
+                f"int32 coordinate sentinel would zero further output. "
+                f"Finalize this stream (pass total_frames) and start a "
+                f"fresh init_state() — cached conv state does not carry "
+                f"meaningful context across a 6-hour boundary."
+            )
         total = jnp.asarray(total_frames if total_frames is not None
                             else 2 ** 21, jnp.int32)
         y, new = self._jit_step(self._params, bufs, n, total, z_p_chunk, g)
         new = dict(new)
         new["__n"] = n + 1
+        new["__n_host"] = n_host + 1
         return y, new
 
     def bind(self, params: Dict) -> "StreamingFlowDecoder":

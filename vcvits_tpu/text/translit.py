@@ -7,10 +7,11 @@ syllable inventory for tokenization
 a baked-in dependency here, so the kana coverage is implemented directly:
 standard Hepburn for hiragana + katakana, youon digraphs derived by rule,
 sokuon gemination, chouonpu as '-' (matching unidecode's output for 'ー'),
-and NFKD accent-stripping for Latin script. Kanji have no deterministic
-reading without a dictionary; like unidecode, the output for kanji is a
-best-effort skip (dropped), which the cleaner surfaces via a one-time
-warning instead of silently deleting entire sentences.
+and NFKD accent-stripping for Latin script. Common kanji get a vendored
+per-character Japanese reading (text/kanji.py — better than unidecode's
+Mandarin-derived syllables); uncovered kanji are dropped with a PER-TEXT
+warning listing the characters, or raise in strict mode
+(``to_ascii(strict=True)`` / ``VCVITS_TEXT_STRICT=1``).
 """
 
 from __future__ import annotations
@@ -112,14 +113,30 @@ def kana_to_romaji(text: str) -> str:
     return "".join(out)
 
 
-_warned_dropped = False
+def to_ascii(text: str, strict: bool = False) -> str:
+    """Kana -> romaji, common kanji -> vendored Japanese readings
+    (text/kanji.py), then NFKD accent-strip for Latin.
 
+    Characters still non-ASCII after all three passes (rare kanji, hangul,
+    ...) are dropped with a PER-TEXT warning naming the dropped characters
+    — never silently, matching the "unidecode never silently drops"
+    contract of the reference (cleaners.py:17-18). With ``strict=True``
+    (or env ``VCVITS_TEXT_STRICT=1``) an untransliterable character raises
+    ValueError instead, for pipelines that must not lose tokens.
+    """
+    import os
 
-def to_ascii(text: str) -> str:
-    """Kana -> romaji, then NFKD accent-strip for Latin; anything still
-    non-ASCII (e.g. kanji, hangul) is dropped with a one-time warning."""
-    global _warned_dropped
+    from vcvits_tpu.text.kanji import kanji_to_romaji
+
     text = kana_to_romaji(text)
+    # Per-character kanji readings, space-delimited like unidecode's CJK
+    # output so syllable boundaries survive (downstream cleaners collapse
+    # whitespace).
+    buf: list[str] = []
+    for ch in text:
+        r = kanji_to_romaji(ch)
+        buf.append(f" {r} " if r is not None else ch)
+    text = "".join(buf)
     nfkd = unicodedata.normalize("NFKD", text)
     kept = []
     dropped = []
@@ -128,11 +145,15 @@ def to_ascii(text: str) -> str:
             kept.append(ch)
         elif not unicodedata.combining(ch):
             dropped.append(ch)
-    if dropped and not _warned_dropped:
-        _warned_dropped = True
+    if dropped:
+        if strict or os.environ.get("VCVITS_TEXT_STRICT") == "1":
+            raise ValueError(
+                f"to_ascii(strict): untransliterable character(s) "
+                f"{''.join(dropped)!r} in {text!r}"
+            )
         logger.warning(
-            "to_ascii dropped %d untransliterable character(s) (e.g. %r); "
-            "kanji need a reading dictionary — feed kana or romaji input",
-            len(dropped), "".join(dropped[:8]),
+            "to_ascii dropped %d untransliterable character(s): %r "
+            "(extend text/kanji.py or feed kana/romaji; strict=True raises)",
+            len(dropped), "".join(dropped),
         )
     return "".join(kept)

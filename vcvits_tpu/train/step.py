@@ -6,10 +6,14 @@ program: spectrogram/mel feature extraction, generator forward, G loss +
 update, then D loss + update on the stop-gradient waveform. Differences
 from the reference, documented:
 
-* The reference (Lightning two-optimizer loop) recomputes the full
-  generator forward for the D step with post-update G weights and fresh
-  random slices; we reuse the G step's y_hat via stop_gradient — half the
-  generator FLOPs per step, standard VITS/HiFi-GAN practice.
+* D-step forward: by default (`cfg.train.d_recompute_forward=True`) we
+  match the reference's Lightning two-optimizer loop exactly — the
+  generator forward is RECOMPUTED for the D step with post-update G
+  weights and fresh random slices. A measured 5k-step A/B
+  (reports/ab_dstep_r2.json: mel-L1 17.7 vs 22.8) showed the recompute
+  converges far better than the cheaper reuse-y_hat variant, which
+  remains available as an opt-out (d_recompute_forward=False — half the
+  generator FLOPs per step, at a real quality cost).
 * grad norms are measured, not clipped (clip_grad_value_(None) parity,
   commons.py:145-160) unless cfg.train.grad_clip is set.
 * Loss math in fp32 even when the nets compute in bf16 (losses.py parity).
