@@ -113,6 +113,63 @@ def test_preload_losses_match_live(cfg, corpus):
     assert pre_ds.get_item(0) is pre_ds.get_item(0)
 
 
+def test_shift_policy_distribution(cfg, corpus):
+    """The random_shift policy matches preload_vc_ms.py:94-99: p=0.3 exact
+    zero plus 0.7 * 1/25 from randint(-12,12) hitting 0 — and is a
+    deterministic function of (seed, epoch, index) so the loader's two
+    get_item calls per item agree and resume replays identical epochs."""
+    ds = PreloadVoiceConversionDataset(corpus, cfg.data, random_shift=True)
+    n = 20000
+    ds.set_epoch(0)
+    shifts0 = [ds.sample_shift(i) for i in range(n)]
+    assert all(-12 <= s <= 12 for s in shifts0)
+    frac_zero = sum(s == 0 for s in shifts0) / n
+    assert abs(frac_zero - (0.3 + 0.7 / 25)) < 0.02
+    nonzero = [s for s in shifts0 if s != 0]
+    # uniform over the remaining 24 values: each gets ~1/25 of the 0.7 mass
+    for v in (-12, -1, 5, 12):
+        assert abs(sum(s == v for s in nonzero) / n - 0.7 / 25) < 0.01
+    # deterministic within an epoch (bucketing + assembly must agree)
+    assert shifts0 == [ds.sample_shift(i) for i in range(n)]
+    # epochs resample
+    ds.set_epoch(1)
+    shifts1 = [ds.sample_shift(i) for i in range(n)]
+    assert sum(a != b for a, b in zip(shifts0, shifts1)) > n // 2
+
+
+def test_shift_aug_epoch_end_to_end(cfg, corpus, tmp_path):
+    """Dump shift variants, run a loader epoch with the random policy: the
+    shifted item's source wav/pitch differ from unshifted while the target
+    stays identical (reference shifts the SOURCE side only,
+    preload_vc_ms.py:52-70)."""
+    from vcvits_tpu.data.loader import BucketedLoader
+    from vcvits_tpu.models.hubert import HubertModel
+
+    cache = str(tmp_path / "cache")
+    base = VoiceConversionDataset(corpus, cfg.data, cache_dir=cache)
+    hub = HubertModel(TINY_HUBERT)
+    hp = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 2640)))["params"]
+    # dump a reduced shift set; policy monkeypatched to stay inside it
+    assert dump_hubert_features(base, cfg, hp, hubert_cfg=TINY_HUBERT,
+                                batch_size=2, dtype=jnp.float32,
+                                pitch_shifts=(0, 2)) == 6
+    pre = PreloadVoiceConversionDataset(corpus, cfg.data, cache_dir=cache,
+                                        random_shift=True)
+    pre.sample_shift = lambda idx: 2 if idx == 0 else 0  # type: ignore
+
+    plain = pre.get_item(0, pitch_shift=0)
+    shifted = pre.get_item(0)  # policy applies -> +2 st
+    assert not np.allclose(shifted["x_wav"], plain["x_wav"])
+    np.testing.assert_array_equal(shifted["y_wav"], plain["y_wav"])
+    assert shifted["hubert_features"].shape == plain["hubert_features"].shape
+    assert not np.allclose(shifted["hubert_features"], plain["hubert_features"])
+
+    loader = BucketedLoader(pre, cfg.data, batch_size=2, drop_last=False,
+                            shuffle=False)
+    batches = list(loader.epoch_batches(0))
+    assert batches and all("hubert_features" in b for b in batches)
+
+
 def test_preload_collate_crop_keeps_features_aligned(cfg, corpus, tmp_path):
     """When the bucket crops the wav, the feature crop stays frame-locked
     with pitch (off//ds), like the aligned wav crop. Self-contained: dumps

@@ -44,6 +44,11 @@ def main() -> None:
                              "HuBERT forward every step")
     parser.add_argument("--preload-dump", action="store_true",
                         help="dump precomputed HuBERT features and exit")
+    parser.add_argument("--preload-shift-aug", action="store_true",
+                        help="reference preload augmentation (preload_vc_ms"
+                             ".py:94-99): random ±12-semitone source shift "
+                             "with p=0.7 per epoch item; with --preload-dump "
+                             "dumps all 25 shift variants")
     parser.add_argument("--batch-size", type=int, default=None,
                         help="override train.batch_size (measured scaling: "
                              "larger batches raise audio-s/s; see PARITY.md)")
@@ -51,6 +56,11 @@ def main() -> None:
                         help="tensor-parallel degree over the 'model' mesh "
                              "axis (wide matmuls sharded, XLA collectives "
                              "over ICI); devices = data x model")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize() before "
+                             "anything touches devices (also auto-enabled when "
+                             "JAX_COORDINATOR_ADDRESS is set); fails loudly on "
+                             "misconfiguration — see docs/multihost.md")
     args = parser.parse_args()
 
     if args.accelerator == "cpu":
@@ -58,6 +68,10 @@ def main() -> None:
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
+
+    if args.distributed or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        from vcvits_tpu.parallel.mesh import distributed_init
+        distributed_init()
 
     import jax.numpy as jnp
 
@@ -98,7 +112,7 @@ def main() -> None:
     if args.preload or args.preload_dump:
         import jax
 
-        from vcvits_tpu.data.preload import dump_hubert_features
+        from vcvits_tpu.data.preload import SHIFT_SET, dump_hubert_features
         from vcvits_tpu.models.hubert import HubertModel
         from vcvits_tpu.models.synthesizer import hubert_config_for
 
@@ -114,9 +128,12 @@ def main() -> None:
             )(jax.random.PRNGKey(cfg.train.seed))
         for files in (cfg.data.training_files, cfg.data.validation_files):
             if os.path.exists(files):
+                # shift variants only for the training set (no aug on val)
+                shifts = (SHIFT_SET if args.preload_shift_aug
+                          and files == cfg.data.training_files else (0,))
                 n = dump_hubert_features(
                     VoiceConversionDataset(files, cfg.data), cfg, hub_params,
-                    dtype=dtype,
+                    dtype=dtype, pitch_shifts=shifts,
                 )
                 logging.info("dumped %d HuBERT feature files for %s", n, files)
         if args.preload_dump:
@@ -124,6 +141,7 @@ def main() -> None:
 
     trainer = Trainer(cfg, workdir=args.workdir, dtype=dtype,
                       hubert_params=hubert_params, preload=args.preload,
+                      preload_shift_aug=args.preload_shift_aug,
                       model_parallel=args.model_parallel)
     if args.profile:
         from vcvits_tpu.utils.profiling import trace

@@ -57,8 +57,12 @@ class VoiceConversionDataset:
 
     def get_item(self, index: int, pitch_shift: int = 0) -> Dict[str, np.ndarray]:
         """pitch_shift (semitones) enables the Preload path's augmentation
-        capability (preload_vc_ms.py:38-57: random ±12 st with p=0.7);
-        shifted variants are cached separately like the reference's."""
+        (preload_vc_ms.py:94-99: random ±12 st with p=0.7). Reference
+        semantics: the shift applies to the SOURCE side only (x_wav and its
+        pitch track) — the target y_wav stays unshifted, so the model learns
+        to reconstruct the original audio from shifted content features
+        (get_audio_preload passes pitch_shift only for the source-rate call,
+        preload_vc_ms.py:52-70). Shifted variants cache separately."""
         path, sid = self.items[index]
         cfg = self.cfg
         src_sr, tgt_sr = cfg.source_sampling_rate, cfg.target_sampling_rate
@@ -86,8 +90,8 @@ class VoiceConversionDataset:
             lambda: shifted(resample(load(), int(audio_holder["sr"]), src_sr), src_sr),
         )
         y_wav = self._cached(
-            f"{path}_{tgt_sr}{shift_tag}",
-            lambda: shifted(resample(load(), int(audio_holder["sr"]), tgt_sr), tgt_sr),
+            f"{path}_{tgt_sr}",
+            lambda: resample(load(), int(audio_holder["sr"]), tgt_sr),
         )
         pitch_key = (
             f"{path}_{cfg.filter_length}_{cfg.win_length}_{cfg.num_pitch}_{src_sr}{shift_tag}"

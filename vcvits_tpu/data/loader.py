@@ -46,8 +46,12 @@ class BucketedLoader:
         return len(self.dataset) // self.batch_size
 
     def epoch_batches(self, epoch: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
-        rng = random.Random(self.seed + (epoch if epoch is not None else self._epoch))
+        ep = epoch if epoch is not None else self._epoch
+        rng = random.Random(self.seed + ep)
         self._epoch += 1
+        if hasattr(self.dataset, "set_epoch"):
+            # per-epoch augmentation policies (preload random pitch shift)
+            self.dataset.set_epoch(ep)
         order = list(range(len(self.dataset)))
         if self.shuffle:
             rng.shuffle(order)

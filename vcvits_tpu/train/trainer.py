@@ -42,6 +42,7 @@ class Trainer:
         hubert_cfg=None,
         hubert_params=None,
         preload: bool = False,
+        preload_shift_aug: bool = False,
         model_parallel: int = 1,
     ):
         self.cfg = cfg
@@ -50,8 +51,11 @@ class Trainer:
         self.hubert_cfg = hubert_cfg
         self.hubert_params = hubert_params
         # preload: train from precomputed HuBERT features (data/preload.py),
-        # skipping the frozen ~95M-param forward each step
+        # skipping the frozen ~95M-param forward each step;
+        # preload_shift_aug: the reference's random ±12 st p=0.7 per-epoch
+        # source augmentation (preload_vc_ms.py:94-99)
         self.preload = preload
+        self.preload_shift_aug = preload_shift_aug
         # Mesh: data parallelism over as many devices as the global batch
         # admits (production: make batch_size a multiple of the device
         # count), times optional tensor parallelism over 'model' (the wide
@@ -171,11 +175,15 @@ class Trainer:
     ):
         cfg = self.cfg
         ds_cls = VoiceConversionDataset
+        ds_kwargs = {}
         if self.preload:
             from vcvits_tpu.data.preload import PreloadVoiceConversionDataset
             ds_cls = PreloadVoiceConversionDataset
+            ds_kwargs = {"random_shift": self.preload_shift_aug,
+                         "shift_seed": cfg.train.seed}
         if train_loader is None:
-            train_ds = ds_cls(train_files or cfg.data.training_files, cfg.data)
+            train_ds = ds_cls(train_files or cfg.data.training_files, cfg.data,
+                              **ds_kwargs)
             train_loader = BucketedLoader(train_ds, cfg.data, cfg.train.batch_size)
         if val_loader is None and (val_files or cfg.data.validation_files):
             try:
@@ -228,8 +236,6 @@ class Trainer:
                     self.validate(state, val_loader, step_no)
                 if step_no % cfg.train.checkpoint_interval == 0:
                     self.ckpt.save(step_no, state)
-            if max_steps is None and epoch + 1 >= cfg.train.max_epochs:
-                break
         if state is not None:
             return self._finish(state, int(state.step))
         return state
@@ -253,7 +259,6 @@ class Trainer:
             batch = next(iter(val_loader.epoch_batches(0)))
         except StopIteration:
             return
-        len_scale = (d.target_sampling_rate / d.hop_length) / d.source_sampling_rate
         rng = jax.random.PRNGKey(0)
         o, y_mask, _ = self._infer(
             state.g_params, jnp.asarray(batch["x_wav"]),
