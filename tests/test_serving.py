@@ -1,0 +1,110 @@
+"""Serving daemon (vcvits_tpu/serving.py): micro-batching correctness.
+
+The capability layer above the reference's one-shot inference
+(/root/reference/infer.py:64-91). Invariants: batched daemon output ==
+direct convert_array output for the same request; concurrent clients are
+all answered; noise_scale never mixes within a batch; stats report p50/p95.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from vcvits_tpu.serving import ServingDaemon, _next_batch_size
+from tests.test_streaming import converter  # noqa: F401 (fixture)
+
+
+def _prep(converter, freq, seconds=0.4, shift=0):  # noqa: F811
+    sr = converter.cfg.data.source_sampling_rate
+    t = np.arange(int(sr * seconds)) / sr
+    wav = (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    true_len = len(wav)
+    padded = int(np.ceil(true_len / converter.unit) * converter.unit)
+    wav = np.pad(wav, (0, padded - true_len))
+    from vcvits_tpu.dsp.pitch import coarse_f0, estimate_pitch
+
+    d = converter.cfg.data
+    f0 = estimate_pitch(wav, sr=sr, n_fft=d.filter_length,
+                        win_length=d.win_length, hop_length=320)
+    return wav, coarse_f0(f0, f0_bin=d.num_pitch), true_len
+
+
+def test_next_batch_size():
+    assert [_next_batch_size(n, 16) for n in (1, 2, 3, 5, 9, 16, 40)] == \
+        [1, 2, 4, 8, 16, 16, 16]
+
+
+def test_daemon_matches_direct(converter):  # noqa: F811
+    wav, pitch, tl = _prep(converter, 220.0)
+    direct = converter.convert_array(wav, pitch, 1, tl, noise_scale=0.0)
+    with ServingDaemon(converter, max_batch=4, window_ms=5) as daemon:
+        out = daemon.submit(wav, pitch, tl, 1, noise_scale=0.0).result(timeout=120)
+    np.testing.assert_allclose(out, direct, atol=1e-5)
+    assert len(out) == len(direct)
+
+
+def test_concurrent_clients_all_answered_and_batched(converter):  # noqa: F811
+    reqs = [_prep(converter, f) for f in (220.0, 277.0, 330.0, 392.0)]
+    directs = [converter.convert_array(w, p, i % 4, tl, noise_scale=0.0)
+               for i, (w, p, tl) in enumerate(reqs)]
+    with ServingDaemon(converter, max_batch=4, window_ms=200) as daemon:
+        results = [None] * len(reqs)
+
+        def client(i):
+            w, p, tl = reqs[i]
+            results[i] = daemon.submit(w, p, tl, i % 4,
+                                       noise_scale=0.0).result(timeout=180)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        stats = daemon.stats()
+    for got, want in zip(results, directs):
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    assert stats["requests"] == 4
+    # the 200 ms window must have coalesced at least one multi-request batch
+    assert stats["mean_batch"] > 1.0
+    assert stats["latency_p95_ms"] >= stats["latency_p50_ms"] > 0
+
+
+def test_noise_scale_never_mixes(converter):  # noqa: F811
+    wav, pitch, tl = _prep(converter, 220.0)
+    with ServingDaemon(converter, max_batch=8, window_ms=100) as daemon:
+        f_a = daemon.submit(wav, pitch, tl, 0, noise_scale=0.0)
+        f_b = daemon.submit(wav, pitch, tl, 0, noise_scale=0.5)
+        f_c = daemon.submit(wav, pitch, tl, 0, noise_scale=0.0)
+        a, b, c = (f.result(timeout=180) for f in (f_a, f_b, f_c))
+        stats = daemon.stats()
+    # deterministic requests in (possibly) one batch agree exactly
+    np.testing.assert_allclose(a, c, atol=1e-5)
+    assert stats["batches"] >= 2  # 0.0-batch and 0.5-batch separated
+
+
+def test_mixed_lengths_pad_exactly(converter):  # noqa: F811
+    short = _prep(converter, 220.0, seconds=0.3)
+    long = _prep(converter, 330.0, seconds=0.6)
+    d_short = converter.convert_array(short[0], short[1], 1, short[2],
+                                      noise_scale=0.0)
+    d_long = converter.convert_array(long[0], long[1], 2, long[2],
+                                     noise_scale=0.0)
+    with ServingDaemon(converter, max_batch=4, window_ms=300) as daemon:
+        f1 = daemon.submit(*short, 1, noise_scale=0.0)
+        f2 = daemon.submit(*long, 2, noise_scale=0.0)
+        o1, o2 = f1.result(timeout=180), f2.result(timeout=180)
+    assert len(o1) == len(d_short) and len(o2) == len(d_long)
+    # the short request was padded to the long one's length inside the
+    # batch; masking must keep the result length-exact. (Values can differ
+    # slightly from the solo program: attention sees more masked frames.)
+    np.testing.assert_allclose(o2, d_long, atol=1e-5)
+
+
+def test_close_rejects_new_work(converter):  # noqa: F811
+    daemon = ServingDaemon(converter, max_batch=2, window_ms=5)
+    daemon.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        daemon.submit(np.zeros(2560, np.float32), np.zeros(8, np.int64),
+                      2560, 0)

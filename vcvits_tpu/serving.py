@@ -1,0 +1,314 @@
+"""Concurrent serving daemon: micro-batching voice conversion.
+
+The reference's only serving story is one-file-at-a-time inference
+(/root/reference/infer.py:64-91). On this TPU setup the per-call cost is
+dominated by the ~25-30 ms device->host tunnel sync (ROADMAP round-2
+stage timing), so sequential serving leaves most of the chip idle. This
+daemon is the capability layer above `VoiceConverter`:
+
+* clients `submit()` requests concurrently (thread-safe, returns a
+  Future);
+* a single dispatcher thread admits requests from a queue and
+  micro-batches them within a latency window (first request opens the
+  window; it closes after `window_ms` or when `max_batch` is reached);
+* each batch runs as ONE device program + ONE device sync — the tunnel
+  round trip and dispatch overhead amortize across the batch;
+* batch shapes are quantized (wav length to the alignment unit via
+  `prepare_source`, batch size up to the next power of two) so the
+  steady state reuses a small, bounded set of compiled programs;
+* per-request latency (p50/p95) and batch-size statistics are tracked.
+
+Requests with different `noise_scale` never share a batch (noise_scale
+is a compile-time constant of the jitted program); sharing a batch pads
+every member to the longest wav in it, which the per-row length masks
+make exact.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vcvits_tpu.infer import VoiceConverter
+
+
+@dataclass
+class _Request:
+    wav16k: np.ndarray          # alignment-unit padded source
+    pitch: np.ndarray
+    true_len: int
+    speaker_id: int
+    noise_scale: float
+    rng_seed: int
+    future: Future = field(default_factory=Future)
+    t_submit: float = field(default_factory=time.perf_counter)
+
+
+def _next_batch_size(n: int, max_batch: int) -> int:
+    """Quantize to powers of two (bounded compile set)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)
+
+
+class ServingDaemon:
+    """Queueing micro-batch loop over a `VoiceConverter`.
+
+    >>> daemon = ServingDaemon(vc, max_batch=16, window_ms=25)
+    >>> fut = daemon.submit(wav16k, pitch, true_len, speaker_id=3)
+    >>> out48k = fut.result()
+    >>> daemon.close()
+    """
+
+    def __init__(
+        self,
+        vc: VoiceConverter,
+        max_batch: int = 16,
+        window_ms: float = 25.0,
+        queue_size: int = 256,
+    ):
+        self.vc = vc
+        self.max_batch = int(max_batch)
+        self.window_ms = float(window_ms)
+        self._q: "queue.Queue[Optional[_Request]]" = queue.Queue(maxsize=queue_size)
+        self._deferred: List[_Request] = []  # noise_scale-mismatched leftovers
+        self._lock = threading.Lock()
+        self._latencies: List[float] = []
+        self._batch_sizes: List[int] = []
+        self._closed = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------ client API
+    def submit(
+        self,
+        wav16k: np.ndarray,
+        pitch: np.ndarray,
+        true_len: int,
+        speaker_id: int,
+        noise_scale: float = 1.0,
+        rng_seed: int = 0,
+    ) -> Future:
+        """Enqueue a prepared source (see VoiceConverter.prepare_source).
+        Returns a Future resolving to the converted 48 kHz waveform."""
+        if self._closed:
+            raise RuntimeError("daemon is closed")
+        req = _Request(np.asarray(wav16k, np.float32), np.asarray(pitch),
+                       int(true_len), int(speaker_id), float(noise_scale),
+                       int(rng_seed))
+        self._q.put(req)
+        return req.future
+
+    def submit_file(self, path: str, speaker_id: int, pitch_shift: int = 0,
+                    noise_scale: float = 1.0, rng_seed: int = 0) -> Future:
+        """Host-prepare (read/resample/pYIN — runs in the CALLER's thread,
+        so concurrent clients parallelize their own prep) then enqueue."""
+        wav, true_len, pitch = self.vc.prepare_source(path, pitch_shift)
+        return self.submit(wav, pitch, true_len, speaker_id, noise_scale,
+                           rng_seed)
+
+    def convert_file(self, path: str, speaker_id: int, **kw) -> np.ndarray:
+        """Blocking one-call client."""
+        return self.submit_file(path, speaker_id, **kw).result()
+
+    # ------------------------------------------------------------ statistics
+    def stats(self) -> Dict[str, float]:
+        with self._lock:
+            lat = np.asarray(self._latencies, np.float64)
+            bs = np.asarray(self._batch_sizes, np.float64)
+        if not len(lat):
+            return {"requests": 0}
+        return {
+            "requests": int(len(lat)),
+            "batches": int(len(bs)),
+            "mean_batch": round(float(bs.mean()), 2),
+            "latency_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1),
+            "latency_p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 1),
+            "latency_max_ms": round(float(lat.max()) * 1e3, 1),
+        }
+
+    def reset_stats(self) -> None:
+        with self._lock:
+            self._latencies.clear()
+            self._batch_sizes.clear()
+
+    def close(self, timeout: float = 30.0) -> None:
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)
+            self._thread.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ----------------------------------------------------------- dispatcher
+    def _gather(self) -> Optional[List[_Request]]:
+        """Admit one batch: first request opens the latency window; close
+        it after window_ms or at max_batch. Requests whose noise_scale
+        differs from the batch head's are deferred to the next batch."""
+        batch: List[_Request] = []
+        if self._deferred:
+            batch.append(self._deferred.pop(0))
+        else:
+            head = self._q.get()
+            if head is None:
+                return None
+            batch.append(head)
+        ns = batch[0].noise_scale
+        deadline = time.perf_counter() + self.window_ms / 1e3
+        # absorb same-noise deferred requests first (FIFO fairness)
+        i = 0
+        while i < len(self._deferred) and len(batch) < self.max_batch:
+            if self._deferred[i].noise_scale == ns:
+                batch.append(self._deferred.pop(i))
+            else:
+                i += 1
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                req = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req is None:
+                self._q.put(None)  # re-post shutdown for the outer loop
+                break
+            if req.noise_scale != ns:
+                self._deferred.append(req)
+                continue
+            batch.append(req)
+        return batch
+
+    def _loop(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        vc = self.vc
+        d = vc.cfg.data
+        hubert_ds = 320  # source samples per content frame (HuBERT cadence)
+        while True:
+            batch = self._gather()
+            if batch is None:
+                break
+            try:
+                n = len(batch)
+                bsz = _next_batch_size(n, self.max_batch)
+                pad_len = max(len(r.wav16k) for r in batch)
+                wavs = np.zeros((bsz, pad_len), np.float32)
+                pitches = np.zeros((bsz, pad_len // hubert_ds),
+                                   batch[0].pitch.dtype)
+                lens = np.zeros((bsz,), np.int32)
+                sids = np.zeros((bsz,), np.int32)
+                for row, r in enumerate(batch):
+                    wavs[row, : len(r.wav16k)] = r.wav16k
+                    pitches[row, : len(r.pitch)] = r.pitch
+                    lens[row] = r.true_len
+                    sids[row] = r.speaker_id
+                lens[n:] = 1  # batch-pad rows: minimal valid length
+                key = jax.random.PRNGKey(batch[0].rng_seed)
+                o, y_mask, _ = vc._infer(
+                    vc.g_params, jnp.asarray(wavs),
+                    jnp.asarray(lens), jnp.asarray(pitches),
+                    jnp.asarray(sids), key, batch[0].noise_scale,
+                )
+                # ONE device->host transfer for the whole batch
+                o_host = np.asarray(o)
+                mask_host = np.asarray(y_mask)
+                t_done = time.perf_counter()
+                for row, r in enumerate(batch):
+                    n_valid = int(mask_host[row].sum()) * d.hop_length
+                    r.future.set_result(o_host[row, :n_valid, 0])
+                with self._lock:
+                    self._batch_sizes.append(n)
+                    self._latencies.extend(t_done - r.t_submit for r in batch)
+            except BaseException as e:  # resolve futures, keep serving
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+
+def serve_http(daemon: ServingDaemon, host: str = "127.0.0.1",
+               port: int = 8300):
+    """Minimal stdlib HTTP front-end (POST /convert?sid=N with a wav body
+    -> wav response). Returns the threading server; call serve_forever()."""
+    import io
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import soundfile as sf
+
+    vc = daemon.vc
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            try:
+                from urllib.parse import parse_qs, urlparse
+
+                u = urlparse(self.path)
+                if u.path != "/convert":
+                    self.send_error(404)
+                    return
+                q = parse_qs(u.query)
+                sid = int(q.get("sid", ["0"])[0])
+                shift = int(q.get("pitch_shift", ["0"])[0])
+                noise = float(q.get("noise_scale", ["1.0"])[0])
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                wav, sr = sf.read(io.BytesIO(body), dtype="float32")
+                if wav.ndim > 1:
+                    wav = wav.mean(axis=1)
+                from vcvits_tpu.dsp.pitch import coarse_f0, estimate_pitch
+                from vcvits_tpu.dsp.pitch_shift import pitch_shift as _ps
+                from vcvits_tpu.dsp.resample import resample
+
+                d = vc.cfg.data
+                wav = resample(wav, sr, d.source_sampling_rate)
+                if shift:
+                    wav = _ps(wav, d.source_sampling_rate, shift)
+                true_len = len(wav)
+                padded = int(np.ceil(max(true_len, 1) / vc.unit) * vc.unit)
+                wav = np.pad(wav, (0, padded - true_len)).astype(np.float32)
+                f0 = estimate_pitch(wav, sr=d.source_sampling_rate,
+                                    n_fft=d.filter_length,
+                                    win_length=d.win_length, hop_length=320)
+                pitch = coarse_f0(f0, f0_bin=d.num_pitch)
+                out = daemon.submit(wav, pitch, true_len, sid,
+                                    noise_scale=noise).result()
+                buf = io.BytesIO()
+                sf.write(buf, out, d.target_sampling_rate, format="WAV",
+                         subtype="PCM_24")
+                data = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            except Exception as e:  # noqa: BLE001
+                self.send_error(500, str(e))
+
+        def do_GET(self):
+            if self.path == "/stats":
+                import json
+
+                data = json.dumps(daemon.stats()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
