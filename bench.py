@@ -91,21 +91,28 @@ def main() -> None:
     # Pipelined single-utterance RTF: dispatch K conversions back-to-back
     # and sync once — amortizes the ~25-30 ms tunnel round trip that
     # dominates t1 (tools/bench_stages.py), approximating device-side
-    # serving throughput for sequential requests.
+    # serving throughput for sequential requests. Inputs and keys are
+    # pre-generated OUTSIDE the timed region so only dispatch + device
+    # time is measured (ADVICE r2 #3).
     k_pipe = 8
+    pipe_inputs = [make_inputs(50 + i, 1) for i in range(k_pipe)]
+    pipe_keys = [jax.random.PRNGKey(50 + i) for i in range(k_pipe)]
+    jax.block_until_ready((pipe_inputs, pipe_keys))
     digests = []
     t0 = time.perf_counter()
-    for i in range(k_pipe):
-        wav, pitch = make_inputs(50 + i, 1)
-        _, dg = infer(params, wav, x_lens1, pitch, sid1, jax.random.PRNGKey(50 + i))
+    for (wav, pitch), k in zip(pipe_inputs, pipe_keys):
+        _, dg = infer(params, wav, x_lens1, pitch, sid1, k)
         digests.append(dg)
     for dg in digests:
         float(dg)
     t_pipe = (time.perf_counter() - t0) / k_pipe
     rtf_pipelined = audio_seconds / t_pipe
 
-    # MFU from XLA's own cost model for the compiled single-utterance fwd
-    mfu = None
+    # MFU from XLA's own cost model for the compiled single-utterance fwd.
+    # Two denominators: single-call wall time (includes the ~25-30 ms
+    # tunnel sync) and the sync-amortized pipelined time (the truer
+    # device-side number — VERDICT r2 weak #1).
+    mfu = mfu_device = None
     try:
         cost = infer.lower(params, wav0, x_lens1, pitch0, sid1, key)\
                     .compile().cost_analysis()
@@ -114,6 +121,7 @@ def main() -> None:
         flops = float(cost.get("flops", 0.0))
         if flops > 0:
             mfu = flops / t1 / V5E_BF16_PEAK_FLOPS
+            mfu_device = flops / t_pipe / V5E_BF16_PEAK_FLOPS
     except Exception:
         pass
 
@@ -145,6 +153,7 @@ def main() -> None:
     #         recompute, bf16) at B=8 and the reference config's B=16 ----
     train_sps = None
     train_detail = {}
+    mfu_train = None
     try:
         from vcvits_tpu.train.state import create_train_state
         from vcvits_tpu.train.step import init_params, make_train_step
@@ -166,6 +175,18 @@ def main() -> None:
             }
             gp, dp = init_params(cfg, jax.random.PRNGKey(1), batch, dtype=jnp.bfloat16)
             state = create_train_state(cfg, gp, dp, steps_per_epoch=1000)
+            # full-step FLOPs from XLA's cost model (fwd+bwd, G and D
+            # updates, incl. the reference-exact D recompute) — lower()
+            # does not execute, so the donated state is still live after.
+            step_flops = 0.0
+            try:
+                tc = step.lower(state, batch, jax.random.PRNGKey(2))\
+                         .compile().cost_analysis()
+                if isinstance(tc, (list, tuple)):
+                    tc = tc[0]
+                step_flops = float(tc.get("flops", 0.0))
+            except Exception:
+                pass
             state, metrics = step(state, batch, jax.random.PRNGKey(2))
             float(metrics["loss/g/total"])  # sync
             ts = []
@@ -175,8 +196,25 @@ def main() -> None:
                 float(metrics["loss/g/total"])
                 ts.append(time.perf_counter() - t0)
             med = float(np.median(ts))
-            train_detail[tb] = {"steps_per_s": round(1.0 / med, 2),
-                                "audio_s_per_s": round(tb * tsec / med, 1)}
+            # sync-amortized step time: enqueue K chained steps, sync once
+            # (device-side number — the tunnel round trip is paid once).
+            k_train = 5
+            keys = [jax.random.PRNGKey(100 + i) for i in range(k_train)]
+            t0 = time.perf_counter()
+            for k in keys:
+                state, metrics = step(state, batch, k)
+            float(metrics["loss/g/total"])
+            med_amort = (time.perf_counter() - t0) / k_train
+            train_detail[tb] = {
+                "steps_per_s": round(1.0 / med, 2),
+                "audio_s_per_s": round(tb * tsec / med, 1),
+                "steps_per_s_sync_amortized": round(1.0 / med_amort, 2),
+                "audio_s_per_s_sync_amortized": round(tb * tsec / med_amort, 1),
+            }
+            if step_flops > 0:
+                train_detail[tb]["mfu"] = round(
+                    step_flops / med_amort / V5E_BF16_PEAK_FLOPS, 4)
+                mfu_train = train_detail[tb]["mfu"]  # largest batch wins
             if tb == 8:
                 train_sps = train_detail[tb]["steps_per_s"]
     except Exception:
@@ -193,9 +231,11 @@ def main() -> None:
             "batched_detail_10s_bf16": batched,
             "train_steps_per_s_b8_4s_bf16": train_sps,
             "train_detail_4s_bf16_d_recompute": train_detail,
-            # NB: mfu divides by wall time INCLUDING the ~25-30 ms tunnel
-            # sync (tools/bench_stages.py), so device MFU is ~2x this.
+            # mfu_infer_bf16 divides by wall time INCLUDING the ~25-30 ms
+            # tunnel sync; *_device amortizes the sync over k_pipe calls.
             "mfu_infer_bf16": round(mfu, 4) if mfu else None,
+            "mfu_infer_device_bf16": round(mfu_device, 4) if mfu_device else None,
+            "mfu_train_bf16": mfu_train,
             "decoder_fold_tail": True,
         },
     }
