@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from vcvits_tpu.models.discriminators import (
@@ -102,6 +103,7 @@ def test_period_fold_exact():
                                        atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_batch_pair_exact():
     """batch_pair=True (one concatenated real|generated pass per head) is
     numerically the separate-pass evaluation for both MPD and MSD."""
@@ -119,3 +121,30 @@ def test_batch_pair_exact():
         for a, b in zip(jax.tree.leaves(out1), jax.tree.leaves(out0)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_msd_im2col_first_conv_exact():
+    """layers.Conv1d(im2col=True) on the in_channels=1 first conv is
+    bit-comparable to the plain conv path (same params, same taps)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vcvits_tpu.models.discriminators import (
+        MultiPeriodDiscriminator, MultiScaleDiscriminator)
+
+    y = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((2, 3072, 1)).astype(np.float32) * 0.3)
+    yh = jnp.asarray(np.random.default_rng(1)
+                     .standard_normal((2, 3072, 1)).astype(np.float32) * 0.3)
+    for cls, kw in ((MultiScaleDiscriminator, {}),
+                    (MultiPeriodDiscriminator, {"periods": (2, 3)})):
+        plain = cls(**kw)
+        fast = cls(im2col_first=True, **kw)
+        params = plain.init(jax.random.PRNGKey(0), y, yh)
+        out_a = plain.apply(params, y, yh)
+        out_b = fast.apply(params, y, yh)  # identical param pytree
+        for a, b in zip(jax.tree.leaves(out_a), jax.tree.leaves(out_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)

@@ -87,6 +87,7 @@ def test_hubert_roundtrip():
     _assert_tree_equal(p, back)
 
 
+@pytest.mark.slow
 def test_discriminator_roundtrip():
     from vcvits_tpu.models.discriminators import (
         MultiPeriodDiscriminator, MultiScaleDiscriminator)

@@ -60,6 +60,7 @@ def test_resblock_folded_exact(rng):
     np.testing.assert_allclose(np.asarray(yf), np.asarray(y0), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_hifigan_folded_parity(rng):
     """Full decoder: fold_tail == unfolded, same params, same output
     (the production configuration but scaled down; min_lanes=16 makes the
@@ -81,6 +82,7 @@ def test_hifigan_folded_parity(rng):
                zip(jax.tree_util.tree_leaves(v), jax.tree_util.tree_leaves(v2)))
 
 
+@pytest.mark.slow
 def test_hifigan_folded_grads_finite(rng):
     """Training runs through the folded decoder: gradients exist and match
     the unfolded decoder's gradients (fold is a linear reparametrization)."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from vcvits_tpu.models.hifigan import HiFiGANGenerator, ResBlock1
@@ -117,6 +118,7 @@ def test_generator_parity_with_torch(rng):
     np.testing.assert_allclose(ours, out_ref, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_generator_48k_upsample_factor():
     gen = HiFiGANGenerator(initial_channel=16, upsample_initial_channel=64)
     x = jnp.zeros((1, 8, 16))

@@ -82,6 +82,7 @@ def test_hubert_frame_arithmetic():
         assert hubert_frames(n + 80) == n // 320
 
 
+@pytest.mark.slow
 def test_hubert_base_shapes():
     model = HubertModel(HUBERT_BASE)
     wav = jnp.zeros((1, 3280))  # 3200 + 80 pad

@@ -137,6 +137,7 @@ def test_shift_policy_distribution(cfg, corpus):
     assert sum(a != b for a, b in zip(shifts0, shifts1)) > n // 2
 
 
+@pytest.mark.slow
 def test_shift_aug_epoch_end_to_end(cfg, corpus, tmp_path):
     """Dump shift variants, run a loader epoch with the random policy: the
     shifted item's source wav/pitch differ from unshifted while the target

@@ -75,6 +75,7 @@ def converted(torch_model):
     return convert_generator(sd, CFG, hubert_cfg=TINY_HUBERT)
 
 
+@pytest.mark.slow
 def test_e2e_inference_parity(torch_model, converted):
     import jax
     import jax.numpy as jnp

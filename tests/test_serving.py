@@ -84,6 +84,7 @@ def test_noise_scale_never_mixes(converter):  # noqa: F811
     assert stats["batches"] >= 2  # 0.0-batch and 0.5-batch separated
 
 
+@pytest.mark.slow
 def test_mixed_lengths_pad_exactly(converter):  # noqa: F811
     short = _prep(converter, 220.0, seconds=0.3)
     long = _prep(converter, 330.0, seconds=0.6)
@@ -100,6 +101,24 @@ def test_mixed_lengths_pad_exactly(converter):  # noqa: F811
     # batch; masking must keep the result length-exact. (Values can differ
     # slightly from the solo program: attention sees more masked frames.)
     np.testing.assert_allclose(o2, d_long, atol=1e-5)
+
+
+def test_compact_transfer_modes_close_to_exact(converter):  # noqa: F811
+    """f16/i16 wire formats trade exactness for 2x/4x less tunnel traffic;
+    outputs must stay within the wire format's quantization error."""
+    wav, pitch, tl = _prep(converter, 220.0)
+    direct = converter.convert_array(wav, pitch, 1, tl, noise_scale=0.0)
+    for mode, atol in (("f16", 2e-3), ("i16", 2e-3)):
+        with ServingDaemon(converter, max_batch=2, window_ms=5,
+                           transfer=mode) as daemon:
+            out = daemon.submit(wav, pitch, tl, 1,
+                                noise_scale=0.0).result(timeout=180)
+        assert out.dtype == np.float32
+        assert len(out) == len(direct)
+        np.testing.assert_allclose(out, direct, atol=atol,
+                                   err_msg=f"transfer={mode}")
+    with pytest.raises(ValueError, match="transfer"):
+        ServingDaemon(converter, transfer="i8")
 
 
 def test_close_rejects_new_work(converter):  # noqa: F811

@@ -4,6 +4,7 @@ dormant in its runs but part of the API surface — VERDICT r1 missing #3)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vcvits_tpu.models.discriminators import (
     DiscriminatorP,
@@ -23,6 +24,7 @@ def test_spectral_normalize_matches_svd(rng):
     np.testing.assert_allclose(s2, 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_discriminators_spectral_norm_forward(rng):
     x = jnp.asarray(rng.standard_normal((2, 256, 1)).astype(np.float32))
     for mod in (DiscriminatorS(use_spectral_norm=True),
@@ -36,6 +38,7 @@ def test_discriminators_spectral_norm_forward(rng):
         assert "v" in names and "g" not in names
 
 
+@pytest.mark.slow
 def test_msd_spectral_norm_first_head_only(rng):
     """multi_scale_discriminator.py:12-18: only the full-rate head gets
     spectral norm; the pooled heads stay weight-normed."""

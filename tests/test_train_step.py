@@ -134,3 +134,36 @@ def test_grad_accumulation_semantics(cfg, batch):
     state2, _ = step(state1, batch, jax.random.PRNGKey(2))
     p2 = jax.device_get(state2.g_params["enc_p"]["proj"]["kernel"])
     assert np.abs(p2 - p1).max() > 0  # micro-step 2: accumulated update lands
+
+
+@pytest.mark.slow
+def test_remat_policies_are_semantics_preserving(cfg, batch):
+    """cfg.train.remat_policy trades HBM for recompute FLOPs; the losses
+    and resulting params must be bit-comparable to the no-remat step."""
+    import dataclasses
+
+    results = {}
+    for pol in ("none", "dots", "nothing"):
+        cfgp = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, remat_policy=pol))
+        g_params, d_params = init_params(cfgp, jax.random.PRNGKey(0), batch,
+                                         hubert_cfg=TINY_HUBERT)
+        state = create_train_state(cfgp, g_params, d_params)
+        step = jax.jit(make_train_step(cfgp, hubert_cfg=TINY_HUBERT))
+        state1, m = step(state, batch, jax.random.PRNGKey(1))
+        results[pol] = (float(m["loss/g/total"]), float(m["loss/d/total"]),
+                        float(jnp.abs(state1.g_params["dec"]["conv_pre"]["v"]).sum()))
+    for pol in ("dots", "nothing"):
+        for a, b in zip(results["none"], results[pol]):
+            np.testing.assert_allclose(a, b, rtol=2e-5,
+                                       err_msg=f"remat={pol} diverged")
+
+
+def test_remat_policy_validates():
+    import dataclasses
+
+    cfgp = Config.from_dict({})
+    cfgp = dataclasses.replace(
+        cfgp, train=dataclasses.replace(cfgp.train, remat_policy="bogus"))
+    with pytest.raises(ValueError, match="remat_policy"):
+        make_train_step(cfgp)

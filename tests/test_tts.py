@@ -42,6 +42,7 @@ def test_spline_roundtrip_and_logdet(rng):
     np.testing.assert_allclose(np.asarray(lad)[outside], 0.0)
 
 
+@pytest.mark.slow
 def test_spline_logdet_matches_autodiff(rng):
     k = 8
     x = jnp.asarray(np.linspace(-4.5, 4.5, 30).astype(np.float32))
@@ -114,6 +115,7 @@ def test_conv_flow_invertible(rng):
 
 
 # ----------------------------------------------------------------- duration
+@pytest.mark.slow
 def test_duration_predictors(rng):
     b, t, c = 2, 9, 16
     h = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))

@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--window-ms", type=float, default=25.0)
     ap.add_argument("--utt-seconds", type=float, default=10.0)
+    ap.add_argument("--transfer", default="f32", choices=("f32", "f16", "i16"),
+                    help="wire dtype: the ~44 MB/s tunnel makes f32 audio "
+                         "transfer the serving bottleneck (i16 == PCM-16 "
+                         "precision, 4x smaller)")
     args = ap.parse_args()
 
     import jax
@@ -75,7 +79,7 @@ def main() -> None:
     reqs = [make_req(i) for i in range(args.clients)]
 
     daemon = ServingDaemon(vc, max_batch=args.max_batch,
-                           window_ms=args.window_ms)
+                           window_ms=args.window_ms, transfer=args.transfer)
 
     # warm every power-of-two batch size the daemon can emit (compile
     # once, cached persistently)
@@ -118,6 +122,7 @@ def main() -> None:
     daemon.close()
     out = {
         "clients": args.clients,
+        "transfer": args.transfer,
         "max_batch": args.max_batch,
         "window_ms": args.window_ms,
         "utt_seconds": args.utt_seconds,

@@ -1,0 +1,266 @@
+#!/usr/bin/env python
+"""Long-horizon convergence run on a rich synthetic corpus (VERDICT r2 #2).
+
+20k+ steps of the full GAN system at the production 48k config (bf16,
+reference-exact D recompute), on the richest corpus this environment can
+generate: multi-speaker speech-like signals with per-speaker formant
+sets and F0 ranges, phrase-level F0 declination + random-walk + vibrato
+contours, syllabic amplitude envelopes, unvoiced fricative-like noise
+bursts, and silences. Logs mel/KL/fm/D-balance trajectories to plateau,
+exercises checkpoint-resume MID-RUN (a second Trainer process picks up
+from the latest checkpoint), and finishes with the shape-tolerant
+restore on a grown n_speakers (vcvits.py:265-282 semantics).
+
+  python tools/convergence_run.py --steps 20000 --out reports/convergence_r3.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import shutil
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/vcvits_tpu_xla"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SR = 48000
+
+
+def _formants(rng, sid):
+    """Per-speaker vowel space: 3 formant center sets + bandwidths."""
+    base = np.array([500.0, 1500.0, 2500.0])
+    spread = rng.uniform(0.85, 1.25, 3)
+    vowels = []
+    for _ in range(4):  # 4 "vowels" per speaker
+        centers = base * spread * rng.uniform(0.75, 1.35, 3)
+        bws = rng.uniform(60.0, 140.0, 3)
+        gains = rng.uniform(0.6, 1.0, 3)
+        vowels.append((centers, bws, gains))
+    return vowels
+
+
+def _syllable(rng, f0, dur, vowel, voiced=True):
+    """One syllable: harmonic stack shaped by the formant envelope, or a
+    fricative-like noise burst; raised-cosine amplitude envelope."""
+    n = max(int(SR * dur), 1)
+    t = np.arange(n) / SR
+    env = 0.5 - 0.5 * np.cos(2 * np.pi * np.minimum(t / dur, 1.0))
+    if not voiced:
+        x = rng.standard_normal(n)
+        # high-pass-ish fricative color via first difference
+        x = np.diff(x, prepend=0.0)
+        return (0.12 * env * x).astype(np.float32)
+    centers, bws, gains = vowel
+    # vibrato + micro-jitter on the contour
+    f0_t = f0 * (1.0 + 0.02 * np.sin(2 * np.pi * rng.uniform(4.5, 6.5) * t)
+                 + 0.003 * rng.standard_normal(n).cumsum() / np.sqrt(n))
+    phase = 2 * np.pi * np.cumsum(f0_t) / SR
+    x = np.zeros(n)
+    n_harm = int(min(6000.0, SR / 2 * 0.9) / max(f0, 1.0))
+    for h in range(1, max(n_harm, 2)):
+        fh = h * f0
+        # formant envelope sampled at the harmonic frequency
+        amp = 0.08  # glottal rolloff floor
+        for c, bw, g in zip(centers, bws, gains):
+            amp += g / (1.0 + ((fh - c) / bw) ** 2)
+        amp /= h ** 0.5  # source rolloff
+        x += amp * np.sin(h * phase + rng.uniform(0, 2 * np.pi))
+    x /= max(np.max(np.abs(x)), 1e-6)
+    # breathiness
+    x += 0.015 * rng.standard_normal(n)
+    return (0.35 * env * x).astype(np.float32)
+
+
+def make_corpus(root: str, n_speakers: int, clips_per_speaker: int,
+                seed: int = 1234) -> str:
+    from vcvits_tpu.utils.audio_io import write_wav
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    lines = []
+    for sid in range(n_speakers):
+        srng = np.random.default_rng(seed + 1000 + sid)
+        f0_base = 85.0 * 2 ** (srng.uniform(0.0, 1.6))  # 85..260 Hz
+        vowels = _formants(srng, sid)
+        for ci in range(clips_per_speaker):
+            p = os.path.join(root, f"s{sid}_{ci}.wav")
+            lines.append(f"{p}|{sid}")
+            if os.path.exists(p):
+                continue
+            crng = np.random.default_rng(seed + sid * 10007 + ci)
+            total = crng.uniform(2.5, 5.5)
+            pieces = []
+            tpos = 0.0
+            f0_phrase = f0_base * crng.uniform(0.9, 1.15)
+            while tpos < total:
+                dur = crng.uniform(0.08, 0.35)
+                kind = crng.random()
+                if kind < 0.12:  # silence
+                    pieces.append(np.zeros(int(SR * dur), np.float32))
+                elif kind < 0.3:  # unvoiced burst
+                    pieces.append(_syllable(crng, 0.0, dur * 0.6, None,
+                                            voiced=False))
+                else:  # voiced syllable with declining phrase F0
+                    decl = 1.0 - 0.25 * (tpos / total)
+                    f0 = f0_phrase * decl * crng.uniform(0.92, 1.2)
+                    vowel = vowels[crng.integers(len(vowels))]
+                    pieces.append(_syllable(crng, f0, dur, vowel))
+                tpos += dur
+            y = np.concatenate(pieces)
+            write_wav(p, y, SR)
+    fl = os.path.join(root, "train.txt")
+    with open(fl, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return fl
+
+
+def build_cfg(fl: str, root: str, n_speakers: int, batch: int,
+              ckpt_interval: int):
+    from vcvits_tpu.config import Config
+
+    cfg = Config()
+    return dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, batch_size=batch, log_interval=100,
+            eval_interval=10 ** 9, checkpoint_interval=ckpt_interval,
+            max_epochs=10 ** 6),
+        data=dataclasses.replace(
+            cfg.data, training_files=fl, validation_files="",
+            n_speakers=max(n_speakers, 8),
+            cache_dir=os.path.join(root, "cache")),
+    )
+
+
+def run_phase(cfg, fl: str, workdir: str, max_steps: int):
+    import jax.numpy as jnp
+
+    from vcvits_tpu.train.trainer import Trainer
+
+    log = []
+    trainer = Trainer(cfg, workdir=workdir, dtype=jnp.bfloat16)
+    orig = trainer.tb.summarize
+
+    def spy(step, scalars=None, **kw):
+        if scalars and "loss/g/mel" in scalars:
+            log.append({
+                "step": step,
+                "mel": float(scalars["loss/g/mel"]),
+                "kl": float(scalars.get("loss/g/kl", np.nan)),
+                "fm": float(scalars.get("loss/g/fm", np.nan)),
+                "g_adv": float(scalars.get("loss/g/adv", np.nan)),
+                "g_total": float(scalars["loss/g/total"]),
+                "d_total": float(scalars["loss/d/total"]),
+                "steps_per_sec": float(scalars.get("steps_per_sec", np.nan)),
+            })
+        return orig(step, scalars=scalars, **kw)
+
+    trainer.tb.summarize = spy
+    trainer.fit(train_files=fl, max_steps=max_steps)
+    return log
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--speakers", type=int, default=8)
+    ap.add_argument("--clips", type=int, default=12)
+    ap.add_argument("--root", default="/tmp/conv_r3")
+    ap.add_argument("--out", default="reports/convergence_r3.json")
+    ap.add_argument("--tb-out", default="reports/convergence_r3_tb")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    corpus_root = os.path.join(args.root, "corpus")
+    fl = make_corpus(corpus_root, args.speakers, args.clips)
+    n_clips = sum(1 for _ in open(fl))
+    print(f"corpus: {n_clips} clips, {args.speakers} speakers", flush=True)
+
+    workdir = os.path.join(args.root, "logs")
+    cfg = build_cfg(fl, args.root, args.speakers, args.batch,
+                    ckpt_interval=2000)
+
+    # Phase 1: first half. Phase 2: a FRESH Trainer auto-resumes from the
+    # latest checkpoint (the crash-and-resume contract, §5.3) and runs to
+    # the full step count.
+    half = args.steps // 2
+    log1 = run_phase(cfg, fl, workdir, half)
+    print(f"phase 1 done at ~{half} steps ({len(log1)} log points)", flush=True)
+    log2 = run_phase(cfg, fl, workdir, args.steps)
+    resume_start = log2[0]["step"] if log2 else None
+    print(f"phase 2 resumed (first logged step {resume_start}) "
+          f"-> {args.steps}", flush=True)
+
+    traj = log1 + log2
+    mels = [p["mel"] for p in traj]
+    d_tot = [p["d_total"] for p in traj]
+
+    # Phase 3: shape-tolerant restore on a grown speaker table, then a few
+    # hundred steps to show training continues finite.
+    import jax.numpy as jnp
+
+    from vcvits_tpu.train.trainer import Trainer
+
+    cfg_grown = build_cfg(fl, args.root, args.speakers, args.batch,
+                          ckpt_interval=10 ** 9)
+    cfg_grown = dataclasses.replace(
+        cfg_grown, data=dataclasses.replace(cfg_grown.data, n_speakers=32))
+    grow_dir = os.path.join(args.root, "logs_grown")
+    shutil.rmtree(grow_dir, ignore_errors=True)
+    os.makedirs(grow_dir, exist_ok=True)
+    # seed the grown workdir with the run's checkpoints
+    shutil.copytree(os.path.join(workdir, "checkpoints"),
+                    os.path.join(grow_dir, "checkpoints"))
+    # tolerant restore resets the optimizer AND the step counter
+    # (vcvits.py:265-282 fine-tune semantics), so this phase runs 300
+    # fresh steps on the restored weights with the grown speaker table
+    log3 = run_phase(cfg_grown, fl, grow_dir, 300)
+    grown_ok = bool(log3) and all(np.isfinite(p["g_total"]) for p in log3)
+    print(f"grown-speaker tolerant restore: {len(log3)} points, "
+          f"finite={grown_ok}", flush=True)
+
+    # plateau statistics: last-10% mel vs the 25-35% window
+    k = max(len(mels) // 10, 1)
+    early = mels[len(mels) // 4: len(mels) // 4 + k]
+    late = mels[-k:]
+    report = {
+        "steps": args.steps,
+        "batch": args.batch,
+        "corpus": {"clips": n_clips, "speakers": args.speakers,
+                   "sr": SR, "style": "formant-synth multi-speaker"},
+        "bf16": True,
+        "d_recompute_forward": True,
+        "trajectory": traj,
+        "resume": {"phase1_end": half, "phase2_first_logged": resume_start},
+        "grown_speakers": {"n_speakers": 32, "steps": 300,
+                           "finite": grown_ok,
+                           "points": log3[:5]},
+        "mel_early_mean": float(np.mean(early)) if early else None,
+        "mel_late_mean": float(np.mean(late)) if late else None,
+        "mel_min": float(np.min(mels)) if mels else None,
+        "d_total_late_mean": float(np.mean(d_tot[-k:])) if d_tot else None,
+        "all_finite": bool(np.isfinite(mels).all() and np.isfinite(d_tot).all()),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    # TB evidence (scalars only — no audio/eval in this run): copy event
+    # files next to the report
+    shutil.rmtree(args.tb_out, ignore_errors=True)
+    shutil.copytree(os.path.join(workdir, "tb"), args.tb_out)
+    print(f"wrote {args.out} (+ TB events in {args.tb_out}); "
+          f"mel {report['mel_early_mean']:.2f} -> {report['mel_late_mean']:.2f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

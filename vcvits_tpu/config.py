@@ -78,6 +78,16 @@ class TrainConfig:
     # healthier D loss) — so reference semantics are the default; set False
     # to save the extra generator forward per step.
     d_recompute_forward: bool = True
+    # Rematerialization policy for the train step's generator /
+    # discriminator forwards: "none" (XLA decides what to keep), "dots"
+    # (save only MXU matmul/conv results, recompute elementwise in the
+    # backward), "nothing" (recompute everything). Trades HBM for FLOPs —
+    # measured per-batch-size in tools/bench_train_opts.py; see ROADMAP.
+    remat_policy: str = "none"
+    # im2col the discriminators' in_channels=1 first convs into dense
+    # matmuls (exact; layers.Conv1d.im2col). Default measured in
+    # tools/bench_train_opts.py.
+    disc_im2col: bool = False
 
 
 @dataclass(frozen=True)

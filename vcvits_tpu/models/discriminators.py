@@ -95,6 +95,10 @@ class DiscriminatorS(nn.Module):
     """Scale head: grouped 1-D conv stack (kernels 15/41/5, groups up to 256)."""
 
     use_spectral_norm: bool = False
+    # im2col the in_channels=1 first conv into a dense [15 -> 16] matmul
+    # (1/128-lane input side otherwise; exact — layers.Conv1d.im2col).
+    # Measured A/B in tools/bench_train_opts.py before flipping defaults.
+    im2col_first: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -113,7 +117,9 @@ class DiscriminatorS(nn.Module):
         wn, sn = not self.use_spectral_norm, self.use_spectral_norm
         for i, (f, k, s, g, p) in enumerate(specs):
             x = Conv1d(f, k, stride=s, groups=g, padding=(p, p), weight_norm=wn,
-                       spectral_norm=sn, dtype=self.dtype, name=f"conv_{i}")(x)
+                       spectral_norm=sn, dtype=self.dtype,
+                       im2col=(i == 0 and self.im2col_first),
+                       name=f"conv_{i}")(x)
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         x = Conv1d(1, 3, padding=(1, 1), weight_norm=wn, spectral_norm=sn,
@@ -142,12 +148,14 @@ class MultiPeriodDiscriminator(nn.Module):
     # batch-parallel, so results are identical; larger batch tiles the
     # MXU better than two small passes).
     batch_pair: bool = True
+    im2col_first: bool = False  # see DiscriminatorS.im2col_first
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, y: jax.Array, y_hat: jax.Array):
         logits_r, logits_g, fmaps_r, fmaps_g = [], [], [], []
         heads = [DiscriminatorS(use_spectral_norm=self.use_spectral_norm,
+                                im2col_first=self.im2col_first,
                                 dtype=self.dtype, name="disc_s")]
         heads += [
             DiscriminatorP(p, use_spectral_norm=self.use_spectral_norm,
@@ -178,6 +186,7 @@ class MultiScaleDiscriminator(nn.Module):
     n_scales: int = 5
     use_spectral_norm: bool = False  # applies to the first (full-rate) head only
     batch_pair: bool = True  # see MultiPeriodDiscriminator.batch_pair
+    im2col_first: bool = False  # see DiscriminatorS.im2col_first
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -194,6 +203,7 @@ class MultiScaleDiscriminator(nn.Module):
                     y_hat = _avg_pool_4_2(y_hat)
             head = DiscriminatorS(
                 use_spectral_norm=self.use_spectral_norm and i == 0,
+                im2col_first=self.im2col_first,
                 dtype=self.dtype, name=f"disc_{i}")
             if self.batch_pair:
                 l, f = head(x)

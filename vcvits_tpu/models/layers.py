@@ -118,6 +118,13 @@ class Conv1d(nn.Module):
     # fold > 1: input/output are time-folded [B, T/fold, fold*C]
     # (space-to-depth; see ops/folded_conv.py). Same params either way.
     fold: int = 1
+    # im2col: for single-input-channel convs, gather the k taps into the
+    # lane axis and run one dense [k -> features] matmul instead of a conv
+    # whose input uses 1 of 128 lanes (same trick as the HuBERT front end,
+    # models/hubert.py ConvFeatureExtractor.im2col_first). Exact: same
+    # params, same taps in the same order. Ignored unless in_ch == 1,
+    # groups == 1, fold == 1.
+    im2col: bool = False
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
     dtype: Dtype = jnp.float32
@@ -156,6 +163,22 @@ class Conv1d(nn.Module):
             pad = [(0, 0)]
         else:
             pad = [tuple(self.padding)]
+
+        if self.im2col and in_ch == 1 and self.groups == 1:
+            lo, hi = pad[0]
+            xw = jnp.pad(x.astype(self.dtype), ((0, 0), (lo, hi), (0, 0)))[..., 0]
+            k, s, dil = self.kernel_size, self.stride, self.dilation
+            t_out = (xw.shape[1] - dil * (k - 1) - 1) // s + 1
+            frames = jnp.stack(
+                [jax.lax.slice_in_dim(
+                    xw, j * dil, j * dil + (t_out - 1) * s + 1, stride=s, axis=1)
+                 for j in range(k)], axis=-1)  # [B, T_out, k]
+            y = jnp.einsum("btk,kd->btd", frames, kernel[:, 0, :],
+                           precision=conv_precision(self.dtype))
+            if self.use_bias:
+                b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+                y = y + b.astype(self.dtype)
+            return y
 
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),

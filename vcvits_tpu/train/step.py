@@ -48,9 +48,11 @@ def build_models(cfg: Config, dtype=jnp.float32, hubert_cfg=None):
     if hubert_cfg is not None:
         gen = gen.clone(hubert_cfg=hubert_cfg)
     mpd = MultiPeriodDiscriminator(
-        periods=cfg.model.multi_period_discriminator_periods, dtype=dtype
+        periods=cfg.model.multi_period_discriminator_periods,
+        im2col_first=cfg.train.disc_im2col, dtype=dtype
     )
-    msd = MultiScaleDiscriminator(dtype=dtype)
+    msd = MultiScaleDiscriminator(im2col_first=cfg.train.disc_im2col,
+                                  dtype=dtype)
     return gen, mpd, msd
 
 
@@ -99,6 +101,23 @@ def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None,
     use_pallas = (cfg.train.pallas_frontend
                   and jax.devices()[0].platform == "tpu")
 
+    # Rematerialization: trade HBM for recompute FLOPs in the backward.
+    # "dots" keeps only matmul/conv outputs (elementwise chains recomputed);
+    # "nothing" recomputes the whole forward. Measured per batch size in
+    # tools/bench_train_opts.py.
+    remat = cfg.train.remat_policy
+    if remat == "none":
+        def wrap(f):
+            return f
+    elif remat in ("dots", "nothing"):
+        _pol = (jax.checkpoint_policies.checkpoint_dots if remat == "dots"
+                else jax.checkpoint_policies.nothing_saveable)
+
+        def wrap(f, _pol=_pol):
+            return jax.checkpoint(f, policy=_pol)
+    else:
+        raise ValueError(f"unknown remat_policy {remat!r}")
+
     def features(y_wav):
         """Target spec+mel (frozen; vcvits.py:64-77). On TPU this is the
         fused Pallas kernel (N1): one pass over the frames computes both the
@@ -145,26 +164,36 @@ def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None,
 
         sid = batch.get("sid")
 
-        # --- generator update (vcvits.py:85-148) ---
-        def g_loss_fn(g_params):
-            o, ids, x_mask, y_mask, (z, z_p, m_p, logs_p, m_q, logs_q) = gen.apply(
+        def _gen_fwd(g_params, r_s, r_d):
+            return gen.apply(
                 {"params": g_params},
                 x_wav.astype(dtype), batch["x_wav_lengths"], batch["x_pitch"],
                 y_spec.astype(dtype), y_spec_lengths, sid,
-                rng=r_sample, deterministic=False,
+                rng=r_s, deterministic=False,
                 hubert_features=(None if hubert_features is None
                                  else hubert_features.astype(dtype)),
-                rngs={"dropout": r_dropout},
+                rngs={"dropout": r_d},
             )
+
+        def _disc_fwd(d_params, y_seg, o):
+            p = mpd.apply({"params": d_params["mpd"]}, y_seg, o)
+            s = msd.apply({"params": d_params["msd"]}, y_seg, o)
+            return p, s
+
+        gen_fwd = wrap(_gen_fwd)
+        disc_fwd = wrap(_disc_fwd)
+
+        # --- generator update (vcvits.py:85-148) ---
+        def g_loss_fn(g_params):
+            o, ids, x_mask, y_mask, (z, z_p, m_p, logs_p, m_q, logs_q) = \
+                gen_fwd(g_params, r_sample, r_dropout)
             y_seg = slice_segments(
                 batch["y_wav"][:, :, None], ids * hop, cfg.train.segment_size
             )
             o32 = o.astype(jnp.float32)
 
-            p_lr, p_lg, p_fr, p_fg = mpd.apply(
-                {"params": state.d_params["mpd"]}, y_seg.astype(dtype), o)
-            s_lr, s_lg, s_fr, s_fg = msd.apply(
-                {"params": state.d_params["msd"]}, y_seg.astype(dtype), o)
+            (p_lr, p_lg, p_fr, p_fg), (s_lr, s_lg, s_fr, s_fg) = disc_fwd(
+                state.d_params, y_seg.astype(dtype), o)
 
             loss_p_fm = feature_loss(p_fr, p_fg)
             loss_s_fm = feature_loss(s_fr, s_fg)
@@ -195,15 +224,9 @@ def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None,
             # reference-exact semantics: fresh forward with POST-update G
             # weights and fresh random slices (costs an extra G forward)
             r_sample2, r_dropout2 = jax.random.split(jax.random.fold_in(rng, 1))
-            o2, ids2, _, _, _ = gen.apply(
-                {"params": g_params},
-                x_wav.astype(dtype), batch["x_wav_lengths"], batch["x_pitch"],
-                y_spec.astype(dtype), y_spec_lengths, sid,
-                rng=r_sample2, deterministic=False,
-                hubert_features=(None if hubert_features is None
-                                 else hubert_features.astype(dtype)),
-                rngs={"dropout": r_dropout2},
-            )
+            # _gen_fwd unwrapped: no gradient flows here, so remat would
+            # only obscure the program
+            o2, ids2, _, _, _ = _gen_fwd(g_params, r_sample2, r_dropout2)
             y_hat_sg = jax.lax.stop_gradient(o2)
             d_ids = ids2
         else:
@@ -214,8 +237,8 @@ def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None,
         ).astype(dtype)
 
         def d_loss_fn(d_params):
-            p_lr, p_lg, _, _ = mpd.apply({"params": d_params["mpd"]}, y_seg, y_hat_sg)
-            s_lr, s_lg, _, _ = msd.apply({"params": d_params["msd"]}, y_seg, y_hat_sg)
+            (p_lr, p_lg, _, _), (s_lr, s_lg, _, _) = disc_fwd(
+                d_params, y_seg, y_hat_sg)
             loss_p, p_r, p_g = discriminator_loss(p_lr, p_lg)
             loss_s, s_r, s_g = discriminator_loss(s_lr, s_lg)
             aux_d = {"loss/d/p": loss_p, "loss/d/s": loss_s}
