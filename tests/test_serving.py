@@ -121,6 +121,47 @@ def test_compact_transfer_modes_close_to_exact(converter):  # noqa: F811
         ServingDaemon(converter, transfer="i8")
 
 
+def test_http_front_end_round_trip(converter, tmp_path):  # noqa: F811
+    """POST a wav to serve_http's /convert, get a PCM_24 wav back; /stats
+    returns JSON. Uses the in-repo RIFF I/O (no soundfile on this host)."""
+    import json
+    import threading as th
+    import urllib.request
+
+    from vcvits_tpu.serving import serve_http
+    from vcvits_tpu.utils.audio_io import read_wav, write_wav
+
+    sr = converter.cfg.data.source_sampling_rate
+    t = np.arange(int(sr * 0.4)) / sr
+    src = str(tmp_path / "in.wav")
+    write_wav(src, (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+
+    with ServingDaemon(converter, max_batch=2, window_ms=5) as daemon:
+        server = serve_http(daemon, host="127.0.0.1", port=0)
+        port = server.server_address[1]
+        thread = th.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            body = open(src, "rb").read()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/convert?sid=1&noise_scale=0.0",
+                data=body, method="POST")
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                assert resp.status == 200
+                out_bytes = resp.read()
+            out_path = str(tmp_path / "out.wav")
+            open(out_path, "wb").write(out_bytes)
+            out, out_sr = read_wav(out_path)
+            assert out_sr == converter.cfg.data.target_sampling_rate
+            assert len(out) > 0 and np.isfinite(out).all()
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/stats", timeout=30) as resp:
+                stats = json.loads(resp.read())
+            assert stats["requests"] >= 1
+        finally:
+            server.shutdown()
+
+
 def test_close_rejects_new_work(converter):  # noqa: F811
     daemon = ServingDaemon(converter, max_batch=2, window_ms=5)
     daemon.close()

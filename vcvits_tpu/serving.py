@@ -316,10 +316,11 @@ def serve_http(daemon: ServingDaemon, host: str = "127.0.0.1",
                port: int = 8300):
     """Minimal stdlib HTTP front-end (POST /convert?sid=N with a wav body
     -> wav response). Returns the threading server; call serve_forever()."""
-    import io
+    import os
+    import tempfile
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    import soundfile as sf
+    from vcvits_tpu.utils.audio_io import read_wav, write_wav
 
     vc = daemon.vc
 
@@ -337,9 +338,15 @@ def serve_http(daemon: ServingDaemon, host: str = "127.0.0.1",
                 shift = int(q.get("pitch_shift", ["0"])[0])
                 noise = float(q.get("noise_scale", ["1.0"])[0])
                 body = self.rfile.read(int(self.headers["Content-Length"]))
-                wav, sr = sf.read(io.BytesIO(body), dtype="float32")
-                if wav.ndim > 1:
-                    wav = wav.mean(axis=1)
+                # in-repo RIFF parser (utils/audio_io.py — no soundfile dep)
+                with tempfile.NamedTemporaryFile(suffix=".wav",
+                                                 delete=False) as tf:
+                    tf.write(body)
+                    tmp_in = tf.name
+                try:
+                    wav, sr = read_wav(tmp_in)
+                finally:
+                    os.unlink(tmp_in)
                 from vcvits_tpu.dsp.pitch import coarse_f0, estimate_pitch
                 from vcvits_tpu.dsp.pitch_shift import pitch_shift as _ps
                 from vcvits_tpu.dsp.resample import resample
@@ -357,10 +364,16 @@ def serve_http(daemon: ServingDaemon, host: str = "127.0.0.1",
                 pitch = coarse_f0(f0, f0_bin=d.num_pitch)
                 out = daemon.submit(wav, pitch, true_len, sid,
                                     noise_scale=noise).result()
-                buf = io.BytesIO()
-                sf.write(buf, out, d.target_sampling_rate, format="WAV",
-                         subtype="PCM_24")
-                data = buf.getvalue()
+                with tempfile.NamedTemporaryFile(suffix=".wav",
+                                                 delete=False) as tf:
+                    tmp_out = tf.name
+                try:
+                    write_wav(tmp_out, out, d.target_sampling_rate,
+                              subtype="PCM_24")
+                    with open(tmp_out, "rb") as fh:
+                        data = fh.read()
+                finally:
+                    os.unlink(tmp_out)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(data)))
