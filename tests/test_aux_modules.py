@@ -1,0 +1,182 @@
+"""The reference's remaining module-surface tail: timing signals,
+subsequent_mask, the classic (absolute-position) transformer encoder, the
+causal TransformerDecoder, and the PitchDiscriminator reconstruction.
+
+All four are dead code in the reference (nothing instantiates them) —
+implemented here so the module surface is complete; these tests pin the
+behaviors the reference's code implies: the tensor2tensor timing-signal
+formula, output_layer probing, decoder causality, and MSD-style loop
+structure over pitch contours.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vcvits_tpu.utils.masking import (
+    add_timing_signal_1d,
+    cat_timing_signal_1d,
+    get_timing_signal_1d,
+    subsequent_mask,
+)
+
+
+def test_timing_signal_formula():
+    """Matches the tensor2tensor formula (commons.py:67-80) analytically."""
+    length, channels = 13, 8
+    sig = np.asarray(get_timing_signal_1d(length, channels))
+    assert sig.shape == (1, length, channels)
+    num = channels // 2
+    inc = np.log(1.0e4) / (num - 1)
+    inv = np.exp(np.arange(num) * -inc)
+    for pos in (0, 5, 12):
+        np.testing.assert_allclose(sig[0, pos, :num], np.sin(pos * inv),
+                                   atol=1e-5)
+        np.testing.assert_allclose(sig[0, pos, num:], np.cos(pos * inv),
+                                   atol=1e-5)
+
+
+def test_timing_signal_odd_channels_padded():
+    sig = np.asarray(get_timing_signal_1d(7, 5))
+    assert sig.shape == (1, 7, 5)
+    np.testing.assert_array_equal(sig[0, :, 4], 0.0)  # odd lane zero-padded
+
+
+def test_add_and_cat_timing_signal():
+    x = jnp.ones((2, 6, 4))
+    added = add_timing_signal_1d(x)
+    assert added.shape == x.shape
+    np.testing.assert_allclose(
+        np.asarray(added - x)[0], np.asarray(get_timing_signal_1d(6, 4))[0],
+        atol=1e-6)
+    catted = cat_timing_signal_1d(x)
+    assert catted.shape == (2, 6, 8)
+    np.testing.assert_array_equal(np.asarray(catted[..., :4]), np.asarray(x))
+
+
+def test_subsequent_mask_is_causal():
+    m = np.asarray(subsequent_mask(5))
+    assert m.shape == (1, 1, 5, 5)
+    np.testing.assert_array_equal(m[0, 0], np.tril(np.ones((5, 5))))
+
+
+@pytest.fixture(scope="module")
+def classic_encoder():
+    from vcvits_tpu.models.classic_transformer import ClassicTransformerEncoder
+
+    enc = ClassicTransformerEncoder(
+        hidden_channels=16, filter_channels=32, n_heads=2, n_layers=3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 16))
+    mask = jnp.ones((2, 10, 1))
+    params = enc.init(jax.random.PRNGKey(1), x, mask)
+    return enc, params, x, mask
+
+
+def test_classic_encoder_shapes_and_params(classic_encoder):
+    enc, params, x, mask = classic_encoder
+    out = enc.apply(params, x, mask)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # all 3 layers' params exist (output_layer probing must not drop them)
+    assert {f"layer_{i}" for i in range(3)} <= set(params["params"].keys())
+
+
+def test_classic_encoder_output_layer_probe(classic_encoder):
+    """output_layer=N returns the hidden state after the first N layers
+    (classic_transformer.py:23-29 slicing semantics)."""
+    from vcvits_tpu.models.classic_transformer import ClassicTransformerEncoder
+
+    enc, params, x, mask = classic_encoder
+    shallow = ClassicTransformerEncoder(
+        hidden_channels=16, filter_channels=32, n_heads=2, n_layers=2)
+    sub = {"params": {k: v for k, v in params["params"].items()
+                      if k in ("layer_0", "layer_1")}}
+    probed = enc.apply(params, x, mask, output_layer=2)
+    direct = shallow.apply(sub, x, mask)
+    np.testing.assert_allclose(np.asarray(probed), np.asarray(direct),
+                               atol=1e-5)
+
+
+def test_classic_encoder_respects_padding(classic_encoder):
+    """Padding positions must not influence valid positions."""
+    enc, params, x, _ = classic_encoder
+    mask = jnp.concatenate([jnp.ones((2, 7, 1)), jnp.zeros((2, 3, 1))], axis=1)
+    out1 = enc.apply(params, x, mask)
+    x2 = x.at[:, 7:].set(99.0)
+    out2 = enc.apply(params, x2, mask)
+    np.testing.assert_allclose(np.asarray(out1[:, :7]),
+                               np.asarray(out2[:, :7]), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def decoder():
+    from vcvits_tpu.models.attention import TransformerDecoder
+
+    dec = TransformerDecoder(hidden_channels=16, filter_channels=32,
+                             n_heads=2, n_layers=2, kernel_size=3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 16))
+    h = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 16))
+    x_mask = jnp.ones((2, 12, 1))
+    h_mask = jnp.ones((2, 9, 1))
+    params = dec.init(jax.random.PRNGKey(2), x, x_mask, h, h_mask)
+    return dec, params, x, h, x_mask, h_mask
+
+
+def test_decoder_shapes(decoder):
+    dec, params, x, h, x_mask, h_mask = decoder
+    out = dec.apply(params, x, x_mask, h, h_mask)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_decoder_is_causal(decoder):
+    """Changing decoder input at position t must not change outputs < t
+    (subsequent_mask + causal FFN, relative_attention_transformer.py:81)."""
+    dec, params, x, h, x_mask, h_mask = decoder
+    out1 = dec.apply(params, x, x_mask, h, h_mask)
+    x2 = x.at[:, 8:].set(7.0)
+    out2 = dec.apply(params, x2, x_mask, h, h_mask)
+    np.testing.assert_allclose(np.asarray(out1[:, :8]),
+                               np.asarray(out2[:, :8]), atol=1e-5)
+    # and the change IS visible at/after t (sanity that the test can fail)
+    assert np.abs(np.asarray(out1[:, 8:]) - np.asarray(out2[:, 8:])).max() > 1e-4
+
+
+def test_decoder_encoder_padding_masked(decoder):
+    """Padding frames of the encoder memory must not leak into the output."""
+    dec, params, x, h, x_mask, _ = decoder
+    h_mask = jnp.concatenate([jnp.ones((2, 6, 1)), jnp.zeros((2, 3, 1))], axis=1)
+    out1 = dec.apply(params, x, x_mask, h, h_mask)
+    h2 = h.at[:, 6:].set(-50.0)
+    out2 = dec.apply(params, x, x_mask, h2, h_mask)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_pitch_discriminator_msd_structure():
+    """MSD-style loop over pitch contours: n_scales logit pairs + fmap
+    pyramids, finite gradients end to end."""
+    from vcvits_tpu.models.discriminators import PitchDiscriminator
+
+    disc = PitchDiscriminator(n_scales=3)
+    y = jax.random.normal(jax.random.PRNGKey(0), (2, 100, 1))
+    y_hat = jax.random.normal(jax.random.PRNGKey(1), (2, 100, 1))
+    params = disc.init(jax.random.PRNGKey(2), y, y_hat)
+    lr, lg, fr, fg = disc.apply(params, y, y_hat)
+    assert len(lr) == len(lg) == len(fr) == len(fg) == 3
+    for scale in range(3):
+        assert lr[scale].shape == lg[scale].shape
+        assert len(fr[scale]) == 5  # 4 conv fmaps + post
+        assert np.isfinite(np.asarray(lr[scale])).all()
+    # each scale halves time (avg-pool cascade)
+    t0, t1 = fr[0][0].shape[1], fr[1][0].shape[1]
+    assert abs(t1 - (t0 // 2 + 1)) <= 1
+
+    def loss(p):
+        lr, lg, _, _ = disc.apply(p, y, y_hat)
+        return sum(jnp.mean((l - 1.0) ** 2) for l in lr) + \
+            sum(jnp.mean(l ** 2) for l in lg)
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)

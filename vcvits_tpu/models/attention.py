@@ -202,3 +202,80 @@ class TransformerEncoder(nn.Module):
             y = drop(y)
             x = LayerNorm(self.hidden_channels, dtype=self.dtype, name=f"norm2_{i}")(x + y)
         return x * x_mask
+
+
+class TransformerDecoder(nn.Module):
+    """Causal decoder stack: masked self-attn → enc-dec cross-attn → causal FFN.
+
+    Capability parity with
+    relative_attention_transformer.py:50-100 (TransformerDecoder — dead
+    code in the reference: nothing instantiates it, but it is part of the
+    module surface). Same block order and residual+post-LN scheme; the
+    self-attention uses the proximal log-distance bias like the reference's
+    (proximal_bias=True default there). The reference's `proximal_init`
+    (copying the query projection into the key projection at init) is a
+    torch in-place init trick with no effect on the traced graph shape; we
+    document it rather than replicate torch RNG mechanics — no checkpoint
+    for this module exists to match.
+
+    x (decoder input): [B, T_x, C]; h (encoder output): [B, T_h, C];
+    masks are [B, T, 1].
+    """
+
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int
+    kernel_size: int = 1
+    p_dropout: float = 0.0
+    proximal_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        x_mask: jax.Array,
+        h: jax.Array,
+        h_mask: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        from vcvits_tpu.utils.masking import subsequent_mask
+
+        t_x = x.shape[1]
+        mx = x_mask[..., 0]  # [B, T_x]
+        mh = h_mask[..., 0]  # [B, T_h]
+        # causal AND within-length (reference :81: subsequent_mask alone;
+        # padding is handled by the trailing x*x_mask there — we fold both in)
+        self_attn_mask = subsequent_mask(t_x) * (
+            mx[:, None, :, None] * mx[:, None, None, :]
+        )
+        encdec_attn_mask = mx[:, None, :, None] * mh[:, None, None, :]
+        drop = nn.Dropout(self.p_dropout, deterministic=deterministic)
+        x = x * x_mask
+        for i in range(self.n_layers):
+            y = RelativeMultiHeadAttention(
+                self.hidden_channels, self.hidden_channels, self.n_heads,
+                p_dropout=self.p_dropout, window_size=None,
+                proximal_bias=self.proximal_bias,
+                dtype=self.dtype, name=f"self_attn_{i}",
+            )(x, x, self_attn_mask, deterministic=deterministic)
+            y = drop(y)
+            x = LayerNorm(self.hidden_channels, dtype=self.dtype, name=f"norm0_{i}")(x + y)
+
+            y = RelativeMultiHeadAttention(
+                self.hidden_channels, self.hidden_channels, self.n_heads,
+                p_dropout=self.p_dropout, window_size=None,
+                dtype=self.dtype, name=f"encdec_attn_{i}",
+            )(x, h, encdec_attn_mask, deterministic=deterministic)
+            y = drop(y)
+            x = LayerNorm(self.hidden_channels, dtype=self.dtype, name=f"norm1_{i}")(x + y)
+
+            y = ConvFFN(
+                self.hidden_channels, self.filter_channels, self.kernel_size,
+                p_dropout=self.p_dropout, causal=True,
+                dtype=self.dtype, name=f"ffn_{i}",
+            )(x, x_mask, deterministic=deterministic)
+            y = drop(y)
+            x = LayerNorm(self.hidden_channels, dtype=self.dtype, name=f"norm2_{i}")(x + y)
+        return x * x_mask

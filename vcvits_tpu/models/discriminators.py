@@ -180,6 +180,61 @@ class MultiPeriodDiscriminator(nn.Module):
         return logits_r, logits_g, fmaps_r, fmaps_g
 
 
+class PitchDiscriminator(nn.Module):
+    """Multi-scale discriminator over F0 contours.
+
+    Capability parity with /root/reference/vits/model/discriminators/
+    pitch_discriminator.py:8-28 — which is dead AND broken in the
+    reference (its __init__ builds nothing; forward references
+    self.discriminators/self.meanpools that never exist). This is a
+    *working reconstruction* of the evident intent: the MSD pattern
+    (scale heads + mean-pool cascade, the same loop shape as
+    multi_scale_discriminator.py:25-43) applied to pitch contours instead
+    of waveforms. Channel widths are scaled down for frame-rate inputs
+    (a 48 kHz-tuned 1024-ch stack on ~100 Hz contours would be pure
+    waste). Not wired into the default training losses — the reference
+    never instantiates it either; it is available for pitch-adversarial
+    fine-tuning experiments.
+
+    Inputs are [B, T_frames, 1] normalized-F0 contours (e.g.
+    dsp.pitch.normalize_pitch output).
+    """
+
+    n_scales: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jax.Array, y_hat: jax.Array):
+        logits_r, logits_g, fmaps_r, fmaps_g = [], [], [], []
+        b = y.shape[0]
+        x = jnp.concatenate([y, y_hat], axis=0)
+        specs = [  # (features, kernel, stride, groups, padding)
+            (16, 15, 1, 1, 7),
+            (64, 15, 2, 4, 7),
+            (128, 15, 2, 16, 7),
+            (128, 5, 1, 1, 2),
+        ]
+        for i in range(self.n_scales):
+            if i != 0:
+                x = _avg_pool_4_2(x)
+            h, fmap = x, []
+            for j, (f, k, s, g, p) in enumerate(specs):
+                h = Conv1d(f, k, stride=s, groups=g, padding=(p, p),
+                           weight_norm=True, dtype=self.dtype,
+                           name=f"disc_{i}_conv_{j}")(h)
+                h = leaky_relu(h, LRELU_SLOPE)
+                fmap.append(h)
+            h = Conv1d(1, 3, padding=(1, 1), weight_norm=True,
+                       dtype=self.dtype, name=f"disc_{i}_post")(h)
+            fmap.append(h)
+            l = h.reshape(2 * b, -1)
+            logits_r.append(l[:b])
+            logits_g.append(l[b:])
+            fmaps_r.append([a[:b] for a in fmap])
+            fmaps_g.append([a[b:] for a in fmap])
+        return logits_r, logits_g, fmaps_r, fmaps_g
+
+
 class MultiScaleDiscriminator(nn.Module):
     """5 scale heads on a 2x avg-pool cascade (multi_scale_discriminator.py:10-43)."""
 

@@ -74,6 +74,63 @@ def kl_divergence(
     return kl
 
 
+def subsequent_mask(length: int) -> jax.Array:
+    """Causal (lower-triangular) attention mask, [1, 1, L, L] float32.
+
+    Reference: commons.py:94-96. Multiplicative convention: 1.0 where
+    position q may attend to position k<=q, 0.0 above the diagonal.
+    """
+    return jnp.tril(jnp.ones((length, length), jnp.float32))[None, None]
+
+
+def get_timing_signal_1d(
+    length: int,
+    channels: int,
+    min_timescale: float = 1.0,
+    max_timescale: float = 1.0e4,
+) -> jax.Array:
+    """Sinusoidal position signal, [1, T, C] (commons.py:67-80).
+
+    Same formula as the reference (tensor2tensor layout: the first
+    channels//2 lanes are sines, the next channels//2 cosines, odd channel
+    counts zero-padded), transposed to this repo's [B, T, C] convention.
+    All-static shapes: XLA constant-folds the whole signal under jit.
+    """
+    position = jnp.arange(length, dtype=jnp.float32)
+    num_timescales = channels // 2
+    log_timescale_increment = (
+        jnp.log(float(max_timescale) / float(min_timescale))
+        / max(num_timescales - 1, 1)
+    )
+    inv_timescales = min_timescale * jnp.exp(
+        jnp.arange(num_timescales, dtype=jnp.float32) * -log_timescale_increment
+    )
+    scaled_time = position[:, None] * inv_timescales[None, :]  # [T, C//2]
+    signal = jnp.concatenate([jnp.sin(scaled_time), jnp.cos(scaled_time)], axis=1)
+    signal = jnp.pad(signal, ((0, 0), (0, channels % 2)))
+    return signal[None]  # [1, T, C]
+
+
+def add_timing_signal_1d(
+    x: jax.Array, min_timescale: float = 1.0, max_timescale: float = 1.0e4
+) -> jax.Array:
+    """x + sinusoidal positions, x: [B, T, C] (commons.py:82-85)."""
+    _, t, c = x.shape
+    return x + get_timing_signal_1d(t, c, min_timescale, max_timescale).astype(x.dtype)
+
+
+def cat_timing_signal_1d(
+    x: jax.Array,
+    min_timescale: float = 1.0,
+    max_timescale: float = 1.0e4,
+    axis: int = -1,
+) -> jax.Array:
+    """Concat sinusoidal positions along channels, x: [B, T, C] (commons.py:87-91)."""
+    b, t, c = x.shape
+    signal = get_timing_signal_1d(t, c, min_timescale, max_timescale).astype(x.dtype)
+    return jnp.concatenate([x, jnp.broadcast_to(signal, (b, t, c))], axis=axis)
+
+
 def generate_path(duration: jax.Array, y_mask: jax.Array, x_mask: jax.Array) -> jax.Array:
     """Durations -> hard monotonic alignment (commons.py:127-142).
 
