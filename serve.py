@@ -34,6 +34,11 @@ def main() -> None:
     parser.add_argument("--window-ms", type=float, default=25.0,
                         help="micro-batch latency window")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--transfer", default="f32",
+                        choices=("f32", "f16", "i16"),
+                        help="device<->host wire format; i16 quarters the "
+                             "transfer (PCM-16 precision) — the measured "
+                             "winner on slow links (docs/serving.md)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -49,7 +54,8 @@ def main() -> None:
         args.workdir, cfg=cfg,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     with ServingDaemon(vc, max_batch=args.max_batch,
-                       window_ms=args.window_ms) as daemon:
+                       window_ms=args.window_ms,
+                       transfer=args.transfer) as daemon:
         server = serve_http(daemon, host=args.host, port=args.port)
         logging.info("serving on http://%s:%d (max_batch=%d window=%.0fms)",
                      args.host, args.port, args.max_batch, args.window_ms)

@@ -88,6 +88,13 @@ class TrainConfig:
     # matmuls (exact; layers.Conv1d.im2col). Default measured in
     # tools/bench_train_opts.py.
     disc_im2col: bool = False
+    # Device-resident dataset cache (data/device_cache.py): upload the
+    # corpus to HBM once and assemble batches with a jitted gather, so the
+    # per-step host->device traffic is an index vector instead of audio.
+    # "auto": on when the padded corpus fits device_cache_max_bytes and no
+    # per-epoch augmentation needs fresh host data; "on"/"off" force it.
+    device_data_cache: str = "auto"
+    device_cache_max_bytes: int = 512 * 1024 * 1024
 
 
 @dataclass(frozen=True)

@@ -22,6 +22,12 @@ Requests with different `noise_scale` never share a batch (noise_scale
 is a compile-time constant of the jitted program); sharing a batch pads
 every member to the longest wav in it, which the per-row length masks
 make exact.
+
+RNG semantics: the flow-noise PRNG key for a batch is derived from the
+batch HEAD's `rng_seed` — requests sharing a batch draw from one key
+(each row still gets independent samples; only seed-exact reproducibility
+of a specific request requires it to ride alone or lead its batch, or
+`noise_scale=0.0` which is deterministic).
 """
 
 from __future__ import annotations

@@ -115,6 +115,38 @@ class Trainer:
             )
         return self._train_step
 
+    def _maybe_device_cache(self, train_ds, train_loader):
+        """Swap the streaming loader for a device-resident batcher when the
+        corpus fits in HBM (cfg.train.device_data_cache, data/device_cache.py
+        rationale: per-step h2d drops from audio to an index vector)."""
+        mode = getattr(self.cfg.train, "device_data_cache", "off")
+        if mode == "off":
+            return train_loader, False
+        if self.preload:
+            if mode == "on":
+                logger.warning(
+                    "device_data_cache ignored: the preload path feeds "
+                    "precomputed HuBERT features (and may re-draw per-epoch "
+                    "pitch-shift variants) — streaming loader kept")
+            return train_loader, False
+        from vcvits_tpu.data.device_cache import (
+            DeviceBatcher, estimate_corpus_bytes)
+        if mode == "auto":
+            est = estimate_corpus_bytes(train_ds, self.cfg.data)
+            if est > self.cfg.train.device_cache_max_bytes:
+                logger.info(
+                    "device_data_cache=auto: corpus ~%.0f MB exceeds the "
+                    "%.0f MB gate — streaming loader kept", est / 1e6,
+                    self.cfg.train.device_cache_max_bytes / 1e6)
+                return train_loader, False
+        # seed 1234 mirrors the BucketedLoader default so both loaders
+        # produce identical epoch shuffles (tests/test_device_cache.py)
+        batcher = DeviceBatcher(
+            train_ds, self.cfg.data, self.cfg.train.batch_size, mesh=self.mesh)
+        logger.info("device_data_cache: %d items resident on device "
+                    "(%d batches/epoch)", len(train_ds), len(batcher))
+        return batcher, True
+
     def init_state(self, example_batch: Dict[str, np.ndarray]):
         batch = {k: jnp.asarray(v) for k, v in example_batch.items()}
         g_params, d_params = init_params(
@@ -181,10 +213,13 @@ class Trainer:
             ds_cls = PreloadVoiceConversionDataset
             ds_kwargs = {"random_shift": self.preload_shift_aug,
                          "shift_seed": cfg.train.seed}
+        device_cached = False
         if train_loader is None:
             train_ds = ds_cls(train_files or cfg.data.training_files, cfg.data,
                               **ds_kwargs)
             train_loader = BucketedLoader(train_ds, cfg.data, cfg.train.batch_size)
+            train_loader, device_cached = self._maybe_device_cache(
+                train_ds, train_loader)
         if val_loader is None and (val_files or cfg.data.validation_files):
             try:
                 val_ds = VoiceConversionDataset(
@@ -205,7 +240,9 @@ class Trainer:
         t_log = time.perf_counter()
 
         for epoch in range(cfg.train.max_epochs):
-            for batch in prefetch(train_loader.epoch_batches(epoch)):
+            epoch_iter = (train_loader.epoch_batches(epoch) if device_cached
+                          else prefetch(train_loader.epoch_batches(epoch)))
+            for batch in epoch_iter:
                 if state is None:
                     state = self.resume_or_init(batch)
                     # ONE device sync to learn the resume point; from here
@@ -218,7 +255,8 @@ class Trainer:
                 if max_steps is not None and step_no >= max_steps:
                     return self._finish(state, step_no)
                 rng, step_rng = jax.random.split(rng)
-                sharded = shard_batch(batch, self.mesh)
+                # device-cached batches are already resident and data-sharded
+                sharded = batch if device_cached else shard_batch(batch, self.mesh)
                 state, metrics = train_step(state, sharded, step_rng)
                 step_no += 1
 
