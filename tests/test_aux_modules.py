@@ -153,6 +153,7 @@ def test_decoder_encoder_padding_masked(decoder):
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
 
 
+@pytest.mark.slow  # dead-in-reference aux module; structure-only coverage
 def test_pitch_discriminator_msd_structure():
     """MSD-style loop over pitch contours: n_scales logit pairs + fmap
     pyramids, finite gradients end to end."""

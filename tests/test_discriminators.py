@@ -81,6 +81,7 @@ def test_discriminator_p_fold_matches_torch_pad(rng):
     )
 
 
+@pytest.mark.slow  # fold_period defaults off (measured); exactness kept in slow
 def test_period_fold_exact():
     """ROADMAP item 5: the period-folded DiscriminatorP (grouped 1-D convs
     over [B, T/p, p*C]) is exactly the NHWC (k,1)-conv stack — same params,

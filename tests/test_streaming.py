@@ -103,6 +103,7 @@ def test_convert_many_pipelined(converter, tmp_path):
         assert len(back) == len(out)
 
 
+@pytest.mark.slow  # windowed-mode closeness; the incremental-exact gate runs fast
 def test_streamed_vs_offline_mel_closeness(converter):
     """VERDICT r1 weak #5: assert spectral closeness, not just lengths.
     noise_scale=0 makes both paths deterministic (z_p = m_p); the streamed

@@ -70,7 +70,9 @@ def _streamed(model, pf, pd, z_p, g, chunk_frames):
     return out[sfd.delay_samples:], sfd
 
 
-@pytest.mark.parametrize("chunk_frames", [4, 16])
+@pytest.mark.parametrize(
+    "chunk_frames",
+    [pytest.param(4, marks=pytest.mark.slow), 16])  # 4 = 4x the steps: slow tier
 def test_streamed_equals_offline(chunk_frames):
     model, flow, dec, pf, pd, g = _build()
     z_p = jax.random.normal(jax.random.PRNGKey(42), (1, 32, INTER))
@@ -81,6 +83,7 @@ def test_streamed_equals_offline(chunk_frames):
     np.testing.assert_allclose(got[:n], ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow  # variant coverage; the primary exactness gate runs fast
 def test_streamed_resblock2_no_speaker():
     model, flow, dec, pf, pd, g = _build(resblock="2", gin=0)
     z_p = jax.random.normal(jax.random.PRNGKey(7), (1, 24, INTER))
