@@ -163,7 +163,10 @@ def main() -> None:
         tyw = txw * 3
         step = jax.jit(make_train_step(cfg, dtype=jnp.bfloat16, steps_per_epoch=1000),
                        donate_argnums=(0,))
-        for tb in (8, 16):
+        # 8/16 track the reference config's batch sizes; 64 is the measured
+        # throughput knee (ROADMAP: 548 audio-s/s in round 2 — the number
+        # each round has to beat).
+        for tb in (8, 16, 64):
             r = np.random.default_rng(7)
             batch = {
                 "x_wav": jnp.asarray(r.standard_normal((tb, txw)).astype(np.float32) * 0.05),

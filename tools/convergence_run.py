@@ -33,6 +33,16 @@ import numpy as np
 SR = 48000
 
 
+def _rss_mb() -> float:
+    """Current process resident set size in MB (Linux /proc, no psutil)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return round(pages * os.sysconf("SC_PAGE_SIZE") / 1e6, 1)
+    except Exception:
+        return float("nan")
+
+
 def _formants(rng, sid):
     """Per-speaker vowel space: 3 formant center sets + bandwidths."""
     base = np.array([500.0, 1500.0, 2500.0])
@@ -159,6 +169,10 @@ def run_phase(cfg, fl: str, workdir: str, max_steps: int):
                 "g_total": float(scalars["loss/g/total"]),
                 "d_total": float(scalars["loss/d/total"]),
                 "steps_per_sec": float(scalars.get("steps_per_sec", np.nan)),
+                # host anon RSS in MB: the watchdog stat for the h2d
+                # staging leak this run was first killed by (ROADMAP r3
+                # item 9) — flat = the device cache is doing its job
+                "host_rss_mb": _rss_mb(),
             })
         return orig(step, scalars=scalars, **kw)
 
