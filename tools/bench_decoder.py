@@ -29,7 +29,8 @@ def main():
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--modes", default="folded,unfolded")
+    ap.add_argument("--modes", default="folded,unfolded",
+                    help="comma list of folded|unfolded|phase_split")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +59,8 @@ def main():
             upsample_initial_channel=m.upsample_initial_channel,
             upsample_kernel_sizes=m.upsample_kernel_sizes,
             gin_channels=m.gin_channels,
-            fold_tail=(mode == "folded"),
+            fold_tail=(mode != "unfolded"),
+            phase_split=(mode == "phase_split"),
             dtype=dtype,
         )
         if params is None:
@@ -87,9 +89,12 @@ def main():
                          "digest": d}
         print(f"{mode}: {med*1e3:.1f} ms  ({audio_s/med:.0f}x RT)  digest={d:.5f}")
 
-    if all("ms" in v for v in results.values()) and len(results) == 2:
-        sp = results["unfolded"]["ms"] / results["folded"]["ms"]
-        print(f"fold speedup: {sp:.2f}x")
+    modes_done = [k for k, v in results.items() if "ms" in v]
+    if len(modes_done) >= 2:
+        base = modes_done[0]
+        for other in modes_done[1:]:
+            sp = results[other]["ms"] / results[base]["ms"]
+            print(f"{base} vs {other}: {sp:.2f}x")
     print(json.dumps({"batch": args.batch, "seconds": args.seconds,
                       "dtype": args.dtype, **results}))
 

@@ -154,6 +154,11 @@ class ModelConfig:
     multi_period_discriminator_periods: Tuple[int, ...] = (
         2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37,
     )
+    # Dilation-phase-split folded decoder (models/hifigan.py phase_split):
+    # exact — same params, same outputs — with ~2-3x fewer MACs on the
+    # dilated MRF taps. Default set by measurement (tools/bench_decoder.py
+    # --phase-split A/B); not a JSON key in the reference.
+    dec_phase_split: bool = False
 
 
 @dataclass(frozen=True)

@@ -34,7 +34,7 @@ from vcvits_tpu.models.layers import (
     leaky_relu,
     normal_init,
 )
-from vcvits_tpu.ops.folded_conv import refold_time, unfold_time
+from vcvits_tpu.ops.folded_conv import fold_time, refold_time, unfold_time
 
 
 class ResBlock1(nn.Module):
@@ -48,17 +48,22 @@ class ResBlock1(nn.Module):
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3, 5)
     fold: int = 1
+    phase_split: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, x_mask: Optional[jax.Array] = None) -> jax.Array:
-        assert self.fold == 1 or x_mask is None, "folded ResBlock is mask-free"
+        # x_mask with fold > 1 is the folded [1, T', fold*C] validity mask
+        # the phase-split padding path threads through (zeros past the true
+        # signal end, so biased conv outputs in the pad region never bleed
+        # back into valid positions).
         for i, d in enumerate(self.dilations):
             xt = leaky_relu(x, LRELU_SLOPE)
             if x_mask is not None:
                 xt = xt * x_mask
             xt = Conv1d(self.channels, self.kernel_size, dilation=d, weight_norm=True,
-                        fold=self.fold, kernel_init=normal_init(),
+                        fold=self.fold, phase_split=self.phase_split,
+                        kernel_init=normal_init(),
                         dtype=self.dtype, name=f"c1_{i}")(xt)
             xt = leaky_relu(xt, LRELU_SLOPE)
             if x_mask is not None:
@@ -79,17 +84,18 @@ class ResBlock2(nn.Module):
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3)
     fold: int = 1
+    phase_split: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, x_mask: Optional[jax.Array] = None) -> jax.Array:
-        assert self.fold == 1 or x_mask is None, "folded ResBlock is mask-free"
         for i, d in enumerate(self.dilations):
             xt = leaky_relu(x, LRELU_SLOPE)
             if x_mask is not None:
                 xt = xt * x_mask
             xt = Conv1d(self.channels, self.kernel_size, dilation=d, weight_norm=True,
-                        fold=self.fold, kernel_init=normal_init(),
+                        fold=self.fold, phase_split=self.phase_split,
+                        kernel_init=normal_init(),
                         dtype=self.dtype, name=f"c_{i}")(xt)
             x = xt + x
         if x_mask is not None:
@@ -117,6 +123,14 @@ class HiFiGANGenerator(nn.Module):
     # same outputs (tests/test_folded_conv.py::test_hifigan_folded_parity).
     fold_tail: bool = True
     min_lanes: int = 128
+    # Run folded dilated MRF convs dilation-phase-split: refold to d*fold
+    # and compute a feature_group_count=d grouped conv over residue-major
+    # channels — exact (same params/outputs, tests/test_folded_conv.py),
+    # ~2-3x fewer MACs on the dilated taps (k=11,d=5: 15 dense folded taps
+    # -> 5 grouped). Requires padding the tail stages to a multiple of
+    # 15*fold (lcm of the d=3/5 splits), handled here with zero masks that
+    # keep 'same'-padding semantics exact.
+    phase_split: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -128,13 +142,13 @@ class HiFiGANGenerator(nn.Module):
         res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
         num_kernels = len(self.resblock_kernel_sizes)
         use_fused = (fused_mrf and self.resblock == "1"
+                     and not self.phase_split
                      and not self.is_initializing()
                      and jax.devices()[0].platform == "tpu")
         if use_fused:
             from vcvits_tpu.ops.mrf_pallas import (
                 _VMEM_WEIGHT_BUDGET, fold_resblock_weights, mrf_fused,
                 mrf_weight_bytes)
-            from vcvits_tpu.ops.folded_conv import fold_time
 
         x = Conv1d(self.upsample_initial_channel, 7, padding=(3, 3), weight_norm=True,
                    dtype=self.dtype, name="conv_pre")(x)
@@ -143,9 +157,17 @@ class HiFiGANGenerator(nn.Module):
                              name="cond")(g)[:, None, :]
 
         fold = 1
+        t_valid = x.shape[1]  # true (unpadded) unfolded length at this stage
+        mask = None  # folded [1, T', fold*C] validity mask while padded
+        dil_splits = sorted({d for blk in self.resblock_dilation_sizes
+                             for d in blk if d > 1})
+        lcm_d = 1
+        for d in dil_splits:
+            lcm_d = lcm_d * d // _math.gcd(lcm_d, d)
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             x = leaky_relu(x, LRELU_SLOPE)
             ch = self.upsample_initial_channel // (2 ** (i + 1))
+            t_valid *= u
             if self.fold_tail:
                 # phase-decomposed transposed conv: output folded by fold*u,
                 # then refold so ch * fold_next >= min_lanes (capped by what
@@ -155,9 +177,33 @@ class HiFiGANGenerator(nn.Module):
                                     kernel_init=normal_init(),
                                     dtype=self.dtype, name=f"up_{i}")(x)
                 t_unfolded = x.shape[1] * fold * u
-                fold_next = _math.gcd(max(1, self.min_lanes // ch), t_unfolded)
-                x = refold_time(x, fold * u, fold_next)
-                fold = fold_next
+                fold_base = max(1, self.min_lanes // ch)
+                if self.phase_split and fold_base > 1 and dil_splits:
+                    # pad the stage so every d*fold_base refold divides,
+                    # mask the pad (zeros = exact 'same' semantics; biased
+                    # conv outputs there are re-zeroed by the ResBlocks).
+                    step = fold_base * lcm_d
+                    t_pad = -(-t_unfolded // step) * step
+                    xu = unfold_time(x, fold * u)
+                    if t_pad != t_unfolded:
+                        xu = jnp.pad(xu, ((0, 0), (0, t_pad - t_unfolded),
+                                          (0, 0)))
+                    x = fold_time(xu, fold_base)
+                    fold = fold_base
+                    if t_valid < t_pad:
+                        valid = (jnp.arange(t_pad) < t_valid).astype(x.dtype)
+                        mask = jnp.broadcast_to(
+                            valid.reshape(1, t_pad // fold, fold, 1),
+                            (1, t_pad // fold, fold, ch),
+                        ).reshape(1, t_pad // fold, fold * ch)
+                        x = x * mask  # clear ConvTranspose pad leakage+bias
+                    else:
+                        mask = None
+                else:
+                    fold_next = _math.gcd(max(1, self.min_lanes // ch),
+                                          t_unfolded)
+                    x = refold_time(x, fold * u, fold_next)
+                    fold = fold_next
             else:
                 x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
                                     weight_norm=True, kernel_init=normal_init(),
@@ -182,13 +228,16 @@ class HiFiGANGenerator(nn.Module):
                 for j, (rk, rd) in enumerate(
                     zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
                 ):
-                    block = res_cls(ch, rk, tuple(rd), fold=fold, dtype=self.dtype,
-                                    name=f"res_{i}_{j}")
-                    xs = block(x) if xs is None else xs + block(x)
+                    block = res_cls(ch, rk, tuple(rd), fold=fold,
+                                    phase_split=self.phase_split,
+                                    dtype=self.dtype, name=f"res_{i}_{j}")
+                    xs = block(x, mask) if xs is None else xs + block(x, mask)
                 x = xs / num_kernels
 
         x = leaky_relu(x, 0.01)  # final activation uses torch's default slope
         x = Conv1d(1, 7, padding=(3, 3), weight_norm=True, fold=fold,
                    dtype=self.dtype, name="conv_post")(x)
         x = unfold_time(x, fold)
+        if x.shape[1] > t_valid:  # drop the phase-split stage padding
+            x = x[:, :t_valid]
         return jnp.tanh(x)

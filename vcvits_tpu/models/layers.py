@@ -118,6 +118,13 @@ class Conv1d(nn.Module):
     # fold > 1: input/output are time-folded [B, T/fold, fold*C]
     # (space-to-depth; see ops/folded_conv.py). Same params either way.
     fold: int = 1
+    # phase_split: for folded dilated convs, refold to d*fold and run a
+    # feature_group_count=d grouped conv over residue-major channels —
+    # exact, same params, ~KK_dense*fold/(KK_g*fold') fewer MACs (the
+    # dense folded kernel densifies dilated taps; the split removes them;
+    # ops/folded_conv.py:_phase_split_placement). Needs T % (d*fold) == 0
+    # (the caller pads). No-op unless dilation > 1 and fold > 1.
+    phase_split: bool = False
     # im2col: for single-input-channel convs, gather the k taps into the
     # lane axis and run one dense [k -> features] matmul instead of a conv
     # whose input uses 1 of 128 lanes (same trick as the HuBERT front end,
@@ -149,10 +156,42 @@ class Conv1d(nn.Module):
                 self.padding == "same" or tuple(self.padding) == same
             ), "folded Conv1d supports stride-1 same-padded ungrouped convs"
             from vcvits_tpu.ops.folded_conv import (
-                fold_same_conv_kernel, folded_conv_apply)
-            wf, fpad = fold_same_conv_kernel(kernel, self.dilation, self.fold)
+                fold_phase_split_conv_kernel, fold_same_conv_kernel,
+                folded_conv_apply, phase_split_reorder, refold_time)
             b = (self.param("bias", self.bias_init, (self.features,), jnp.float32)
                  .astype(self.dtype) if self.use_bias else None)
+            if self.phase_split and self.dilation > 1:
+                from vcvits_tpu.ops.folded_conv import (
+                    _phase_split_placement, _same_conv_placement)
+                d = self.dilation
+                f_ps = d * self.fold
+                kk_dense = _same_conv_placement(
+                    self.kernel_size, self.dilation, self.fold)[0].shape[1]
+                kk_grouped = _phase_split_placement(
+                    self.kernel_size, self.dilation, f_ps)[0].shape[1]
+            else:
+                kk_dense = kk_grouped = 0
+            # take the split only where it actually removes MACs (k=3 d=3
+            # ties at 3 folded taps either way — the reorder would be pure
+            # overhead there)
+            if kk_grouped and kk_grouped < kk_dense:
+                t_unf = x.shape[1] * self.fold
+                assert t_unf % f_ps == 0, (
+                    f"phase-split conv needs T={t_unf} divisible by "
+                    f"d*fold={f_ps} (the decoder pads the stage)")
+                wg, gpad = fold_phase_split_conv_kernel(kernel, d, f_ps)
+                xr = refold_time(x.astype(self.dtype), self.fold, f_ps)
+                xr = phase_split_reorder(xr, d, f_ps)
+                y = jax.lax.conv_general_dilated(
+                    xr, wg, window_strides=(1,), padding=[gpad],
+                    dimension_numbers=("NHC", "HIO", "NHC"),
+                    feature_group_count=d,
+                    precision=conv_precision(self.dtype))
+                if b is not None:
+                    y = y + jnp.tile(b, f_ps).astype(y.dtype)
+                y = phase_split_reorder(y, d, f_ps, inverse=True)
+                return refold_time(y, f_ps, self.fold)
+            wf, fpad = fold_same_conv_kernel(kernel, self.dilation, self.fold)
             return folded_conv_apply(x.astype(self.dtype), wf, fpad, bias=b,
                                      fold_out=self.fold,
                                      precision=conv_precision(self.dtype))

@@ -78,6 +78,10 @@ class SynthesizerSVC(nn.Module):
     # as the measured record and for future shapes where they may win.
     pallas_flow: bool = False
     pallas_mrf: bool = False
+    # Dilation-phase-split folded decoder tail (hifigan.py phase_split):
+    # grouped convs remove the dense folded kernel's dilated-tap
+    # densification — exact, same checkpoint (tests/test_folded_conv.py).
+    dec_phase_split: bool = False
     dtype: Dtype = jnp.float32
 
     @classmethod
@@ -103,6 +107,7 @@ class SynthesizerSVC(nn.Module):
             num_pitch=m.num_pitch,
             n_speakers=cfg.data.n_speakers,
             gin_channels=m.gin_channels,
+            dec_phase_split=m.dec_phase_split,
             dtype=dtype,
         )
 
@@ -128,6 +133,7 @@ class SynthesizerSVC(nn.Module):
             upsample_initial_channel=self.upsample_initial_channel,
             upsample_kernel_sizes=self.upsample_kernel_sizes,
             gin_channels=self.gin_channels,
+            phase_split=self.dec_phase_split,
             dtype=self.dtype,
         )
         self.enc_q = PosteriorEncoder(

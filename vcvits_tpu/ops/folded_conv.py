@@ -131,6 +131,102 @@ def fold_transpose_conv_kernel(
     return wf.reshape(kk, fold_in * ci, stride * fold_in * co), pad
 
 
+@functools.lru_cache(maxsize=None)
+def _phase_split_placement(
+    kernel_size: int, dilation: int, fold: int
+) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Grouped (dilation-phase-split) placement for a folded dilated conv.
+
+    With fold F = d*F' (d = dilation), every output sub-position
+    f = a*d + beta reads only input sub-positions r with r === f (mod d)
+    (torch 'same' padding p = d*(k-1)/2 is a multiple of d for odd k, so
+    tap offsets j*d - p stay in residue class 0): reordering the folded
+    channels residue-major (beta major, a minor) makes the dense folded
+    kernel block-diagonal, i.e. a feature_group_count=d grouped conv whose
+    per-group lane width is F'*C — full MXU lanes with KK_dense*F/KK_g*F'
+    fewer MACs (e.g. k=11, d=5, F'=4: 15 dense folded taps over F=4 lanes
+    -> 5 grouped taps over F'=4-per-group lanes, a 3x MAC cut; ROADMAP
+    item 1's dilation-phase-split headroom).
+
+    Returns (Mg[j, KK*F', F], (pad_lo, pad_hi)): one-hot placement for the
+    grouped kernel — within-group input index q*F' + a_in feeding output
+    index o = beta*F' + a_out (group-major, as feature_group_count needs).
+    Both sides use the same pure [F', d] -> [d, F'] transpose of the folded
+    channel view; no residue rotation is needed.
+    """
+    k, d, f_ = kernel_size, dilation, fold
+    assert f_ % d == 0, f"phase-split needs dilation {d} | fold {f_}"
+    fp = f_ // d
+    p = (k * d - d) // 2
+    assert p % d == 0, "odd-kernel 'same' padding is a multiple of d"
+    m_dense, _ = _same_conv_placement(k, d, f_)
+    kk = m_dense.shape[1] // f_
+
+    def order(i):  # residue-major (group-major) index -> phase
+        beta, a = i // fp, i % fp
+        return a * d + beta
+
+    # Permute the dense placement to residue-major on both sides, then
+    # check and extract the block diagonal — the math above guarantees it;
+    # the assert guards the index bookkeeping.
+    mg = np.zeros((k, kk * fp, f_), np.float32)
+    for o in range(f_):
+        g = o // fp
+        for q in range(kk):
+            blk = m_dense[:, q * f_: (q + 1) * f_, order(o)]  # [k, F] taps
+            for i in range(f_):
+                v = blk[:, order(i)]
+                if i // fp == g:
+                    mg[:, q * fp + (i % fp), o] = v
+                else:
+                    assert not v.any(), "phase-split placement not block-diag"
+    # Trim all-zero leading/trailing folded taps (the union of per-group
+    # supports can be tighter than the dense span).
+    used = [q for q in range(kk) if mg[:, q * fp: (q + 1) * fp, :].any()]
+    q0, q1 = used[0], used[-1]
+    mg = np.ascontiguousarray(mg[:, q0 * fp: (q1 + 1) * fp, :])
+    # Dense q index range [0, kk) maps to absolute folded offsets
+    # [qmin, qmax] with pad (-qmin, qmax); the trimmed support is
+    # [qmin + q0, qmin + q1].
+    ms = [(f + j * d - p) for f in range(f_) for j in range(k)]
+    qmin = min(m // f_ for m in ms)
+    return mg, (-(qmin + q0), qmin + q1)
+
+
+def fold_phase_split_conv_kernel(
+    kernel: jax.Array, dilation: int, fold: int
+) -> Tuple[jax.Array, Tuple[int, int]]:
+    """Canonical [k, Ci, Co] -> grouped folded kernel
+    [KK, (fold//d)*Ci, fold*Co] + folded-time padding, for a stride-1
+    'same' dilated conv run as a feature_group_count=d conv over
+    residue-major folded channels (see phase_split_reorder)."""
+    mg, pad = _phase_split_placement(kernel.shape[0], dilation, fold)
+    m = jnp.asarray(mg, kernel.dtype)
+    fp = fold // dilation
+    wf = jnp.einsum("jmf,jic->mifc", m, kernel)
+    kk = mg.shape[1] // fp
+    return wf.reshape(kk, fp * kernel.shape[1], fold * kernel.shape[2]), pad
+
+
+def phase_split_reorder(x: jax.Array, dilation: int, fold: int,
+                        inverse: bool = False) -> jax.Array:
+    """Reorder folded channels phase-major <-> residue-major.
+
+    [B, T', F*C] with F = d*F': phase index f = a*d + beta sits at channel
+    block f; residue-major wants block beta*F' + a. A single [F', d]
+    transpose of the folded view, both directions (the permutation is an
+    involution only when d == F', so `inverse` flips the transpose)."""
+    d, f_ = dilation, fold
+    fp = f_ // d
+    b, t, fc = x.shape
+    c = fc // f_
+    if inverse:
+        y = x.reshape(b, t, d, fp, c).transpose(0, 1, 3, 2, 4)
+    else:
+        y = x.reshape(b, t, fp, d, c).transpose(0, 1, 3, 2, 4)
+    return y.reshape(b, t, fc)
+
+
 def folded_conv_apply(
     x_folded: jax.Array,
     folded_kernel: jax.Array,
