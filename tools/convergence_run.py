@@ -164,8 +164,11 @@ def run_phase(cfg, fl: str, workdir: str, max_steps: int):
                 "step": step,
                 "mel": float(scalars["loss/g/mel"]),
                 "kl": float(scalars.get("loss/g/kl", np.nan)),
-                "fm": float(scalars.get("loss/g/fm", np.nan)),
-                "g_adv": float(scalars.get("loss/g/adv", np.nan)),
+                # fm/adv are logged per-sub-discriminator (p_/s_ prefixes)
+                "fm": float(scalars.get("loss/g/p_fm", np.nan))
+                + float(scalars.get("loss/g/s_fm", np.nan)),
+                "g_adv": float(scalars.get("loss/g/p_gen", np.nan))
+                + float(scalars.get("loss/g/s_gen", np.nan)),
                 "g_total": float(scalars["loss/g/total"]),
                 "d_total": float(scalars["loss/d/total"]),
                 "steps_per_sec": float(scalars.get("steps_per_sec", np.nan)),
