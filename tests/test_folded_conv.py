@@ -130,6 +130,7 @@ def test_hifigan_phase_split_parity(rng):
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
 
 
+@pytest.mark.slow
 def test_hifigan_phase_split_grads_match(rng):
     """Gradients flow through the pad/mask/grouped-conv path and equal the
     unfolded decoder's (the split is a linear reparametrization)."""
