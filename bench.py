@@ -24,8 +24,10 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/vcvits_tpu_xla"))
+# persistent XLA compile cache (jax.config route: this runtime pre-imports jax,
+# so the env var alone is ignored — see vcvits_tpu/utils/compile_cache.py)
+from vcvits_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 
 import numpy as np
 
@@ -246,4 +248,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    # no options by design (the driver runs it bare) — but make --help safe
+    # instead of silently launching a multi-minute TPU suite
+    import argparse
+
+    argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    ).parse_args()
     main()

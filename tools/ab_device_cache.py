@@ -22,9 +22,11 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/vcvits_tpu_xla"))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# persistent XLA compile cache (jax.config route: this runtime pre-imports jax,
+# so the env var alone is ignored — see vcvits_tpu/utils/compile_cache.py)
+from vcvits_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 
 import numpy as np
 

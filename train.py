@@ -16,9 +16,10 @@ import dataclasses
 import logging
 import os
 
-# persistent XLA compile cache: repeat runs skip the (minutes-long) compiles
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/vcvits_tpu_xla"))
+# persistent XLA compile cache (jax.config route: this runtime pre-imports jax,
+# so the env var alone is ignored — see vcvits_tpu/utils/compile_cache.py)
+from vcvits_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 
 
 def main() -> None:
