@@ -37,10 +37,12 @@ def main() -> None:
                         help="micro-batch latency window")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--transfer", default="f32",
-                        choices=("f32", "f16", "i16"),
+                        choices=("f32", "f16", "i16", "mulaw"),
                         help="device<->host wire format; i16 quarters the "
                              "transfer (PCM-16 precision) — the measured "
-                             "winner on slow links (docs/serving.md)")
+                             "winner on slow links; mulaw additionally "
+                             "halves the output side (8-bit companded, "
+                             "telephony-grade) (docs/serving.md)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)

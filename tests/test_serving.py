@@ -117,8 +117,34 @@ def test_compact_transfer_modes_close_to_exact(converter):  # noqa: F811
         assert len(out) == len(direct)
         np.testing.assert_allclose(out, direct, atol=atol,
                                    err_msg=f"transfer={mode}")
+    # mulaw: 8-bit log-companded output — error bound is amplitude-relative
+    # (half a code step in the companded domain, + the i16 source path)
+    with ServingDaemon(converter, max_batch=2, window_ms=5,
+                       transfer="mulaw") as daemon:
+        out = daemon.submit(wav, pitch, tl, 1,
+                            noise_scale=0.0).result(timeout=180)
+    assert out.dtype == np.float32 and len(out) == len(direct)
+    bound = 0.0225 * np.abs(direct) + 3e-3
+    assert np.all(np.abs(out - direct) <= bound), (
+        f"mulaw wire error exceeds companding bound: "
+        f"max excess {np.max(np.abs(out - direct) - bound):.4g}")
     with pytest.raises(ValueError, match="transfer"):
         ServingDaemon(converter, transfer="i8")
+
+
+def test_mulaw_codec_roundtrip():
+    """Standalone mu-law codec contract: uint8 wire, amplitude-relative
+    error, exact at 0, sign-symmetric."""
+    from vcvits_tpu.serving import _mulaw_decode, _mulaw_encode
+
+    x = np.linspace(-1.0, 1.0, 4097, dtype=np.float32)
+    q = _mulaw_encode(x, np)
+    assert q.dtype == np.uint8
+    y = _mulaw_decode(q, np)
+    assert np.all(np.abs(y - x) <= 0.0225 * np.abs(x) + 2e-4)
+    assert _mulaw_decode(_mulaw_encode(np.zeros(4, np.float32), np), np)[0] == 0
+    np.testing.assert_allclose(_mulaw_decode(_mulaw_encode(-x, np), np), -y,
+                               atol=1e-7)
 
 
 def test_http_front_end_round_trip(converter, tmp_path):  # noqa: F811

@@ -38,10 +38,12 @@ def main() -> None:
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--window-ms", type=float, default=25.0)
     ap.add_argument("--utt-seconds", type=float, default=10.0)
-    ap.add_argument("--transfer", default="f32", choices=("f32", "f16", "i16"),
+    ap.add_argument("--transfer", default="f32",
+                    choices=("f32", "f16", "i16", "mulaw"),
                     help="wire dtype: the ~44 MB/s tunnel makes f32 audio "
                          "transfer the serving bottleneck (i16 == PCM-16 "
-                         "precision, 4x smaller)")
+                         "precision, 4x smaller; mulaw halves the output "
+                         "side again, 8-bit companded)")
     args = ap.parse_args()
 
     import jax

@@ -64,6 +64,29 @@ def _next_batch_size(n: int, max_batch: int) -> int:
     return min(b, max_batch)
 
 
+_MU = 255.0  # G.711-style mu-law companding constant
+
+
+def _mulaw_encode(x, xp):
+    """[-1, 1] float -> uint8 mu-law code (xp: numpy or jax.numpy).
+
+    8-bit log-companded wire: quantization error scales with amplitude
+    (~0.022*|x| waveform-domain) instead of being uniform — the standard
+    telephony trade, used here as an opt-in d2h format that halves the
+    output transfer vs i16 on transfer-bound links."""
+    x = xp.clip(x, -1.0, 1.0)
+    y = xp.sign(x) * xp.log1p(_MU * xp.abs(x)) / np.log1p(_MU)
+    # midtread, 255 levels (code 127 == exact zero, sign-symmetric)
+    return xp.round(y * 127.0 + 127.0).astype(xp.uint8)
+
+
+def _mulaw_decode(q, xp):
+    """uint8 mu-law code -> float32 in [-1, 1]."""
+    y = (q.astype(xp.float32) - 127.0) / 127.0
+    return (xp.sign(y) * (xp.power(1.0 + _MU, xp.abs(y)) - 1.0) / _MU
+            ).astype(xp.float32)
+
+
 class ServingDaemon:
     """Queueing micro-batch loop over a `VoiceConverter`.
 
@@ -84,12 +107,17 @@ class ServingDaemon:
         """transfer: wire format for the device->host audio (and, for
         "i16", also host->device sources). "f32" is exact; "f16" halves
         and "i16" quarters the transfer (i16 == PCM-16 precision, what
-        most serving emits anyway). On this setup the tunnel moves ~44
-        MB/s each way, so a 32 x 10 s f32 batch pays ~1.4 s in output
-        transfer alone — compact wire formats are the difference between
-        transfer-bound and compute-bound serving."""
-        if transfer not in ("f32", "f16", "i16"):
-            raise ValueError(f"transfer must be f32|f16|i16, got {transfer!r}")
+        most serving emits anyway); "mulaw" keeps i16 sources but ships
+        the output as 8-bit mu-law (8x less than f32 — log-companded, so
+        error scales with amplitude, ~0.022*|x|: telephony-grade, opt-in).
+        On this setup the tunnel moves ~44 MB/s each way, so a 32 x 10 s
+        f32 batch pays ~1.4 s in output transfer alone — compact wire
+        formats are the difference between transfer-bound and
+        compute-bound serving (output d2h is 3x the input h2d here:
+        48 kHz out vs 16 kHz in)."""
+        if transfer not in ("f32", "f16", "i16", "mulaw"):
+            raise ValueError(
+                f"transfer must be f32|f16|i16|mulaw, got {transfer!r}")
         self.vc = vc
         self.max_batch = int(max_batch)
         self.window_ms = float(window_ms)
@@ -228,7 +256,7 @@ class ServingDaemon:
         transfer = self.transfer
 
         def run(p, wav, lens, pitch, sids, key, noise_scale):
-            if transfer == "i16":
+            if transfer in ("i16", "mulaw"):  # mulaw rides i16 sources
                 wav = wav.astype(jnp.float32) / 32767.0
             o, y_mask, _ = vc._infer(p, wav, lens, pitch, sids, key,
                                      noise_scale)
@@ -240,6 +268,8 @@ class ServingDaemon:
             elif transfer == "i16":
                 o = jnp.clip(o.astype(jnp.float32), -1.0, 1.0)
                 o = jnp.round(o * 32767.0).astype(jnp.int16)
+            elif transfer == "mulaw":
+                o = _mulaw_encode(o.astype(jnp.float32), jnp)
             else:
                 o = o.astype(jnp.float32)
             return o, n_valid
@@ -263,6 +293,8 @@ class ServingDaemon:
                         out = out.astype(np.float32)
                     elif self.transfer == "i16":
                         out = out.astype(np.float32) / 32767.0
+                    elif self.transfer == "mulaw":
+                        out = _mulaw_decode(out, np)
                     r.future.set_result(out)
                 with self._lock:
                     self._batch_sizes.append(len(batch))
@@ -287,7 +319,8 @@ class ServingDaemon:
                 n = len(batch)
                 bsz = _next_batch_size(n, self.max_batch)
                 pad_len = max(len(r.wav16k) for r in batch)
-                wav_dtype = np.int16 if self.transfer == "i16" else np.float32
+                wav_dtype = (np.int16 if self.transfer in ("i16", "mulaw")
+                             else np.float32)
                 wavs = np.zeros((bsz, pad_len), wav_dtype)
                 pitches = np.zeros((bsz, pad_len // hubert_ds),
                                    batch[0].pitch.dtype)
@@ -295,7 +328,7 @@ class ServingDaemon:
                 sids = np.zeros((bsz,), np.int32)
                 for row, r in enumerate(batch):
                     w = r.wav16k
-                    if self.transfer == "i16":
+                    if self.transfer in ("i16", "mulaw"):
                         w = np.round(np.clip(w, -1.0, 1.0) * 32767.0)\
                               .astype(np.int16)
                     wavs[row, : len(w)] = w
