@@ -43,6 +43,10 @@ def main() -> None:
                              "winner on slow links; mulaw additionally "
                              "halves the output side (8-bit companded, "
                              "telephony-grade) (docs/serving.md)")
+    parser.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                        help="shard every batch over the first N local "
+                             "devices (power of two; params replicated). "
+                             "0 = single device")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -57,9 +61,15 @@ def main() -> None:
     vc = VoiceConverter.from_checkpoint(
         args.workdir, cfg=cfg,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    mesh = None
+    if args.data_parallel:
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(jax.devices()[: args.data_parallel], ("data",))
     with ServingDaemon(vc, max_batch=args.max_batch,
                        window_ms=args.window_ms,
-                       transfer=args.transfer) as daemon:
+                       transfer=args.transfer, mesh=mesh) as daemon:
         server = serve_http(daemon, host=args.host, port=args.port)
         logging.info("serving on http://%s:%d (max_batch=%d window=%.0fms)",
                      args.host, args.port, args.max_batch, args.window_ms)

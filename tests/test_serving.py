@@ -147,6 +147,37 @@ def test_mulaw_codec_roundtrip():
                                atol=1e-7)
 
 
+def test_mesh_data_parallel_serving(converter):  # noqa: F811
+    """Batches shard row-wise over a 4-device "data" mesh (params
+    replicated): outputs must match the direct single-device program, and
+    dispatch sizes must round up to the axis size."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    reqs = [_prep(converter, f) for f in (220.0, 277.0, 330.0)]
+    directs = [converter.convert_array(w, p, i, tl, noise_scale=0.0)
+               for i, (w, p, tl) in enumerate(reqs)]
+    with ServingDaemon(converter, max_batch=4, window_ms=200,
+                       mesh=mesh) as daemon:
+        futs = [daemon.submit(w, p, tl, i, noise_scale=0.0)
+                for i, (w, p, tl) in enumerate(reqs)]
+        outs = [f.result(timeout=180) for f in futs]
+        stats = daemon.stats()
+        # a lone request must still shard: 1 -> padded to the axis size 4
+        solo = daemon.submit(*reqs[0], 0, noise_scale=0.0).result(timeout=180)
+    for got, want in zip(outs, directs):
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    np.testing.assert_allclose(solo, directs[0], atol=1e-5)
+    assert stats["requests"] == 3
+    # constructor contract: batches must shard evenly over the axis
+    with pytest.raises(ValueError, match="max_batch"):
+        ServingDaemon(converter, max_batch=2, mesh=mesh)
+    with pytest.raises(ValueError, match="power of two"):
+        ServingDaemon(converter, max_batch=8,
+                      mesh=Mesh(np.array(jax.devices()[:3]), ("data",)))
+
+
 def test_http_front_end_round_trip(converter, tmp_path):  # noqa: F811
     """POST a wav to serve_http's /convert, get a PCM_24 wav back; /stats
     returns JSON. Uses the in-repo RIFF I/O (no soundfile on this host)."""

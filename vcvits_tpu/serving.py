@@ -23,6 +23,10 @@ is a compile-time constant of the jitted program); sharing a batch pads
 every member to the longest wav in it, which the per-row length masks
 make exact.
 
+Scale-out: pass a `jax.sharding.Mesh` with a "data" axis and each batch
+is sharded row-wise over the chips of one host (params replicated once)
+— the serving-layer counterpart of the trainer's data-parallel mesh.
+
 RNG semantics: the flow-noise PRNG key for a batch is derived from the
 batch HEAD's `rng_seed` — requests sharing a batch draw from one key
 (each row still gets independent samples; only seed-exact reproducibility
@@ -103,6 +107,7 @@ class ServingDaemon:
         window_ms: float = 25.0,
         queue_size: int = 256,
         transfer: str = "f32",
+        mesh=None,
     ):
         """transfer: wire format for the device->host audio (and, for
         "i16", also host->device sources). "f32" is exact; "f16" halves
@@ -114,10 +119,28 @@ class ServingDaemon:
         f32 batch pays ~1.4 s in output transfer alone — compact wire
         formats are the difference between transfer-bound and
         compute-bound serving (output d2h is 3x the input h2d here:
-        48 kHz out vs 16 kHz in)."""
+        48 kHz out vs 16 kHz in).
+
+        mesh: optional `jax.sharding.Mesh` with a ``"data"`` axis —
+        each batch is sharded over that axis (data-parallel serving: one
+        program, rows split across chips, params replicated once). The
+        daemon then rounds every dispatch up to a multiple of the axis
+        size, so `max_batch` must be >= the axis size. This is the
+        serving-layer counterpart of the trainer's data-parallel mesh
+        (parallel/mesh.py); the reference has no analog (its serving
+        story is single-GPU infer.py)."""
         if transfer not in ("f32", "f16", "i16", "mulaw"):
             raise ValueError(
                 f"transfer must be f32|f16|i16|mulaw, got {transfer!r}")
+        if mesh is not None:
+            n_data = int(mesh.shape["data"])  # KeyError if axis missing
+            if n_data & (n_data - 1):
+                raise ValueError(f"data axis must be a power of two for "
+                                 f"the bounded compile set, got {n_data}")
+            if max_batch < n_data:
+                raise ValueError(f"max_batch {max_batch} < data axis "
+                                 f"{n_data}: every batch must shard evenly")
+        self.mesh = mesh
         self.vc = vc
         self.max_batch = int(max_batch)
         self.window_ms = float(window_ms)
@@ -247,7 +270,10 @@ class ServingDaemon:
     def _build_infer(self):
         """Jitted batch program: inlines VoiceConverter's infer, computes
         per-row valid lengths on device, and casts the audio to the wire
-        dtype so the d2h transfer is as small as the format allows."""
+        dtype so the d2h transfer is as small as the format allows.
+        With a mesh, the batch dimension is sharded over the "data" axis
+        and params are replicated once (device_put here, in the
+        dispatcher thread, so client threads never pay it)."""
         import jax
         import jax.numpy as jnp
 
@@ -274,7 +300,21 @@ class ServingDaemon:
                 o = o.astype(jnp.float32)
             return o, n_valid
 
-        return jax.jit(run, static_argnames=("noise_scale",))
+        if self.mesh is None:
+            self._params = vc.g_params
+            return jax.jit(run, static_argnames=("noise_scale",))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        rows = NamedSharding(self.mesh, P("data"))
+        self._params = jax.device_put(vc.g_params, repl)
+        return jax.jit(
+            run,
+            static_argnames=("noise_scale",),
+            # (params, wavs, lens, pitches, sids, key)
+            in_shardings=(repl, rows, rows, rows, rows, repl),
+            out_shardings=(rows, rows),
+        )
 
     def _resolve_loop(self) -> None:
         while True:
@@ -311,13 +351,15 @@ class ServingDaemon:
         vc = self.vc
         hubert_ds = 320  # source samples per content frame (HuBERT cadence)
         infer = self._build_infer()
+        n_data = int(self.mesh.shape["data"]) if self.mesh is not None else 1
         while True:
             batch = self._gather()
             if batch is None:
                 break
             try:
                 n = len(batch)
-                bsz = _next_batch_size(n, self.max_batch)
+                # a power of two >= the mesh data axis always shards evenly
+                bsz = max(_next_batch_size(n, self.max_batch), n_data)
                 pad_len = max(len(r.wav16k) for r in batch)
                 wav_dtype = (np.int16 if self.transfer in ("i16", "mulaw")
                              else np.float32)
@@ -338,7 +380,7 @@ class ServingDaemon:
                 lens[n:] = 1  # batch-pad rows: minimal valid length
                 key = jax.random.PRNGKey(batch[0].rng_seed)
                 o_dev, nv_dev = infer(
-                    vc.g_params, jnp.asarray(wavs),
+                    self._params, jnp.asarray(wavs),
                     jnp.asarray(lens), jnp.asarray(pitches),
                     jnp.asarray(sids), key, batch[0].noise_scale,
                 )
