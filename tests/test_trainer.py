@@ -81,7 +81,10 @@ def test_fit_checkpoint_resume_infer(cfg, corpus, tmp_path):
     # validation logs without error
     ds = VoiceConversionDataset(fl, cfg.data, shuffle_seed=None)
     val_loader = BucketedLoader(ds, cfg.data, 2, shuffle=False, drop_last=False)
-    trainer2.validate(state2, val_loader, 3)
+    val_scalars = trainer2.validate(state2, val_loader, 3)
+    # objective metrics computed against ground truth (not just images)
+    assert "val/mcd_db" in val_scalars and val_scalars["val/mcd_db"] >= 0
+    assert 0.0 <= val_scalars["val/voicing_f1"] <= 1.0
 
     # file-to-file conversion from the saved checkpoint
     vc = VoiceConverter.from_checkpoint(workdir, cfg=cfg, hubert_cfg=TINY_HUBERT)

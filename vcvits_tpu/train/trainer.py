@@ -297,7 +297,9 @@ class Trainer:
     # ------------------------------------------------------------- validation
     def validate(self, state, val_loader, step_no: int):
         """Reference validation_step (vcvits.py:185-245): infer on one batch,
-        log generated vs ground-truth mel images + audio."""
+        log generated vs ground-truth mel images + audio — plus objective
+        metrics (MCD / F0-RMSE / voicing F1, vcvits_tpu/eval.py) the
+        reference never had. Returns the scalar metrics dict."""
         cfg = self.cfg
         d = cfg.data
         try:
@@ -325,8 +327,24 @@ class Trainer:
             )
             return np.asarray(m)[0]
 
+        # objective metrics vs ground truth (beyond the reference's
+        # image/audio-only validation): same utterance, so sample-aligned
+        # MCD (no DTW); F0 tracked at the 16 kHz front-end rate
+        scalars = {}
+        try:
+            from vcvits_tpu.eval import evaluate_pair
+
+            m = evaluate_pair(y, o[:n_valid], d.target_sampling_rate,
+                              pitch_sr=d.source_sampling_rate, use_dtw=False)
+            scalars["val/mcd_db"] = m["mcd_db"]
+            scalars["val/voicing_f1"] = m["voicing_f1"]
+            if np.isfinite(m["f0_rmse_cents"]):
+                scalars["val/f0_rmse_cents"] = m["f0_rmse_cents"]
+        except Exception:  # noqa: BLE001 — metrics must never kill training
+            logger.exception("validation metrics failed")
         self.tb.summarize(
             step_no,
+            scalars=scalars,
             images={
                 "gen/mel": mel_to_image(mel_of(o[:n_valid])),
                 "gt/mel": mel_to_image(mel_of(y)),
@@ -335,3 +353,4 @@ class Trainer:
             audio_sampling_rate=d.target_sampling_rate,
         )
         self.tb.flush()
+        return scalars
