@@ -1,79 +1,7 @@
 #!/usr/bin/env python
-"""Inference CLI: any-to-any 48 kHz voice conversion.
-
-Capability parity with /root/reference/infer.py (which hardcodes its paths
-and speaker; here they're flags):
-
-  python infer.py source.wav out.wav --sid 256 --pitch-shift 0 \
-      --workdir logs -c configs/48k_base.json
-"""
-
-from __future__ import annotations
-
-import argparse
-import logging
-
-import os
-
-# persistent XLA compile cache (jax.config route: this runtime pre-imports jax,
-# so the env var alone is ignored — see vcvits_tpu/utils/compile_cache.py)
-from vcvits_tpu.utils.compile_cache import enable_persistent_cache
-enable_persistent_cache()
-
-
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("source", nargs="+",
-                        help="source wav(s); multiple sources pipeline host "
-                             "prep against device decode")
-    parser.add_argument("output",
-                        help="output wav, or a directory when converting "
-                             "multiple sources")
-    parser.add_argument("--sid", type=int, default=256)
-    parser.add_argument("--vc-source-sid", type=int, default=None,
-                        help="flow-swap mode: source audio is OF this speaker; "
-                             "convert to --sid via the latent flow swap")
-    parser.add_argument("--pitch-shift", type=int, default=0)
-    parser.add_argument("--noise-scale", type=float, default=1.0)
-    parser.add_argument("--workdir", default="logs")
-    parser.add_argument("-c", "--config", default=None)
-    args = parser.parse_args()
-
-    logging.basicConfig(level=logging.INFO)
-
-    from vcvits_tpu.config import load_config
-    from vcvits_tpu.infer import VoiceConverter
-
-    cfg = load_config(args.config) if args.config else None
-    vc = VoiceConverter.from_checkpoint(args.workdir, cfg=cfg)
-
-    if len(args.source) > 1:
-        # colliding basenames would silently overwrite one another
-        names = [os.path.basename(s) for s in args.source]
-        dupes = {n for n in names if names.count(n) > 1}
-        if dupes:
-            parser.error(f"multiple sources share basename(s) {sorted(dupes)}; "
-                         f"outputs would overwrite — rename or run separately")
-        os.makedirs(args.output, exist_ok=True)
-
-    if args.vc_source_sid is not None:
-        for src in args.source:
-            out = (os.path.join(args.output, os.path.basename(src))
-                   if len(args.source) > 1 else args.output)
-            vc.voice_conversion(src, out, args.vc_source_sid, args.sid)
-            print(f"wrote {out}")
-    elif len(args.source) == 1:
-        vc.convert(args.source[0], args.output, args.sid,
-                   pitch_shift=args.pitch_shift, noise_scale=args.noise_scale)
-        print(f"wrote {args.output}")
-    else:
-        jobs = [(src, os.path.join(args.output, os.path.basename(src)), args.sid)
-                for src in args.source]
-        vc.convert_many(jobs, pitch_shift=args.pitch_shift,
-                        noise_scale=args.noise_scale)
-        for _, dst, _ in jobs:
-            print(f"wrote {dst}")
-
+"""Shim: `python infer.py ...` == the installed `vcvits-infer` console
+script. The implementation lives in vcvits_tpu.cli.infer."""
+from vcvits_tpu.cli.infer import main
 
 if __name__ == "__main__":
     main()

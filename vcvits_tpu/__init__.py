@@ -10,6 +10,6 @@ Reference parity map lives in SURVEY.md; each module docstring cites the
 reference file:line it provides the capability of (never a translation of).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from vcvits_tpu.config import Config, load_config  # noqa: F401
