@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import logging
 import os
+import signal
+import threading
 import time
 from typing import Dict, Optional
 
@@ -95,6 +97,10 @@ class Trainer:
         # the actual loader at fit() time; the jitted step is built lazily.
         self._steps_per_epoch: Optional[int] = cfg.train.steps_per_epoch
         self._train_step = None
+        # graceful-preemption flag: set by request_stop() or a SIGTERM/SIGINT
+        # handler installed for the duration of fit(); checked at every step
+        # boundary (the reference has no preemption story — SURVEY §5.3)
+        self._stop_reason: Optional[str] = None
         self._infer = jax.jit(
             lambda p, w, l, pi, s, k: self.gen.apply(
                 {"params": p}, w, l, pi, s, rng=k, method=SynthesizerSVC.infer
@@ -196,6 +202,39 @@ class Trainer:
             logger.info("resumed from step %d (tolerant=%s)", step, changed)
         return state
 
+    # ---------------------------------------------------------- preemption
+    def request_stop(self, reason: str = "request_stop") -> None:
+        """Ask the running fit() to checkpoint and return at the next step
+        boundary (thread-safe: just sets a flag the loop polls)."""
+        self._stop_reason = reason
+
+    def _install_preemption_handlers(self):
+        """SIGTERM/SIGINT -> graceful checkpoint-and-exit. TPU maintenance
+        events and batch schedulers deliver SIGTERM; the reference dies and
+        loses up to checkpoint_interval steps of work (its only recovery is
+        crash-and-resume from last.ckpt, /root/reference/train.py:112-113).
+        Returns (signal, previous_handler) pairs for restoration; empty when
+        not on the main thread (signal.signal would raise there)."""
+        if threading.current_thread() is not threading.main_thread():
+            return []
+        installed = []
+        def _handler(signum, frame):  # noqa: ARG001
+            name = signal.Signals(signum).name
+            self._stop_reason = name
+            logger.warning(
+                "received %s: checkpointing and exiting at the next step "
+                "boundary (send again to kill immediately)", name)
+            # a second signal falls through to the default handler
+            signal.signal(signum, prev.get(signum, signal.SIG_DFL))
+        prev = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev[sig] = signal.signal(sig, _handler)
+                installed.append((sig, prev[sig]))
+            except (ValueError, OSError):  # non-main thread / exotic host
+                pass
+        return installed
+
     # ------------------------------------------------------------------- fit
     def fit(
         self,
@@ -204,6 +243,7 @@ class Trainer:
         max_steps: Optional[int] = None,
         train_loader=None,
         val_loader=None,
+        max_seconds: Optional[float] = None,
     ):
         cfg = self.cfg
         ds_cls = VoiceConversionDataset
@@ -238,54 +278,72 @@ class Trainer:
         step_no = 0
         rng = jax.random.PRNGKey(cfg.train.seed)
         t_log = time.perf_counter()
+        deadline = (time.monotonic() + max_seconds) if max_seconds else None
+        # NOTE: _stop_reason is NOT cleared here — request_stop() may
+        # legitimately arrive before fit() (e.g. a wrapping scheduler);
+        # _finish() consumes it so a later fit() starts fresh.
+        handlers = self._install_preemption_handlers()
+        try:
+            for epoch in range(cfg.train.max_epochs):
+                epoch_iter = (train_loader.epoch_batches(epoch) if device_cached
+                              else prefetch(train_loader.epoch_batches(epoch)))
+                for batch in epoch_iter:
+                    if state is None:
+                        state = self.resume_or_init(batch)
+                        # ONE device sync to learn the resume point; from here
+                        # the step counter is tracked host-side so the loop
+                        # never blocks on the device between log intervals
+                        # (the per-step int(state.step) sync cost ~25-30 ms
+                        # over the tunnel — measured 5.71 vs 7.98 steps/s at
+                        # B=8, bench.py sync-amortized A/B).
+                        step_no = int(state.step)
+                    if max_steps is not None and step_no >= max_steps:
+                        return self._finish(state, step_no)
+                    if self._stop_reason is not None or (
+                            deadline is not None
+                            and time.monotonic() >= deadline):
+                        reason = self._stop_reason or \
+                            f"time limit {max_seconds:.0f}s"
+                        logger.warning(
+                            "graceful stop at step %d (%s): saving final "
+                            "checkpoint", step_no, reason)
+                        return self._finish(state, step_no)
+                    rng, step_rng = jax.random.split(rng)
+                    # device-cached batches are already resident + data-sharded
+                    sharded = batch if device_cached else shard_batch(batch, self.mesh)
+                    state, metrics = train_step(state, sharded, step_rng)
+                    step_no += 1
 
-        for epoch in range(cfg.train.max_epochs):
-            epoch_iter = (train_loader.epoch_batches(epoch) if device_cached
-                          else prefetch(train_loader.epoch_batches(epoch)))
-            for batch in epoch_iter:
-                if state is None:
-                    state = self.resume_or_init(batch)
-                    # ONE device sync to learn the resume point; from here
-                    # the step counter is tracked host-side so the loop
-                    # never blocks on the device between log intervals
-                    # (the per-step int(state.step) sync cost ~25-30 ms
-                    # over the tunnel — measured 5.71 vs 7.98 steps/s at
-                    # B=8, bench.py sync-amortized A/B).
-                    step_no = int(state.step)
-                if max_steps is not None and step_no >= max_steps:
-                    return self._finish(state, step_no)
-                rng, step_rng = jax.random.split(rng)
-                # device-cached batches are already resident and data-sharded
-                sharded = batch if device_cached else shard_batch(batch, self.mesh)
-                state, metrics = train_step(state, sharded, step_rng)
-                step_no += 1
-
-                if step_no % cfg.train.log_interval == 0:
-                    metrics = jax.device_get(metrics)
-                    dt = time.perf_counter() - t_log
-                    t_log = time.perf_counter()
-                    sps = cfg.train.log_interval / max(dt, 1e-9)
-                    self.tb.summarize(
-                        step_no,
-                        scalars={**{k: float(v) for k, v in metrics.items()
-                                    if np.ndim(v) == 0},
-                                 "steps_per_sec": sps},
-                    )
-                    logger.info(
-                        "step %d loss_g=%.3f loss_d=%.3f mel=%.3f (%.2f steps/s)",
-                        step_no, float(metrics["loss/g/total"]),
-                        float(metrics["loss/d/total"]), float(metrics["loss/g/mel"]),
-                        sps,
-                    )
-                if val_loader is not None and step_no % cfg.train.eval_interval == 0:
-                    self.validate(state, val_loader, step_no)
-                if step_no % cfg.train.checkpoint_interval == 0:
-                    self.ckpt.save(step_no, state)
-        if state is not None:
-            return self._finish(state, int(state.step))
-        return state
+                    if step_no % cfg.train.log_interval == 0:
+                        metrics = jax.device_get(metrics)
+                        dt = time.perf_counter() - t_log
+                        t_log = time.perf_counter()
+                        sps = cfg.train.log_interval / max(dt, 1e-9)
+                        self.tb.summarize(
+                            step_no,
+                            scalars={**{k: float(v) for k, v in metrics.items()
+                                        if np.ndim(v) == 0},
+                                     "steps_per_sec": sps},
+                        )
+                        logger.info(
+                            "step %d loss_g=%.3f loss_d=%.3f mel=%.3f (%.2f steps/s)",
+                            step_no, float(metrics["loss/g/total"]),
+                            float(metrics["loss/d/total"]), float(metrics["loss/g/mel"]),
+                            sps,
+                        )
+                    if val_loader is not None and step_no % cfg.train.eval_interval == 0:
+                        self.validate(state, val_loader, step_no)
+                    if step_no % cfg.train.checkpoint_interval == 0:
+                        self.ckpt.save(step_no, state)
+            if state is not None:
+                return self._finish(state, int(state.step))
+            return state
+        finally:
+            for sig, old in handlers:
+                signal.signal(sig, old)
 
     def _finish(self, state, step_no: int):
+        self._stop_reason = None  # consumed; a later fit() starts fresh
         if self.ckpt.latest_step() != step_no:
             self.ckpt.save(step_no, state)
         self.ckpt.wait()
