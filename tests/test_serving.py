@@ -225,3 +225,103 @@ def test_close_rejects_new_work(converter):  # noqa: F811
     with pytest.raises(RuntimeError, match="closed"):
         daemon.submit(np.zeros(2560, np.float32), np.zeros(8, np.int64),
                       2560, 0)
+
+
+@pytest.mark.slow
+def test_http_stream_endpoint_matches_direct(converter):  # noqa: F811
+    """POST /stream: chunk-uploaded raw PCM converts to chunked raw PCM
+    equal to a direct StreamingConverter run; the session pool reuses the
+    compiled converter across connections; over-capacity requests get 503."""
+    import http.client
+    import threading as th
+
+    from vcvits_tpu.serving import serve_http
+    from vcvits_tpu.streaming import StreamingConverter
+
+    sr = converter.cfg.data.source_sampling_rate
+    t = np.arange(int(sr * 1.0)) / sr
+    src = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+    direct_conv = StreamingConverter(converter, speaker_id=1,
+                                     chunk_seconds=0.32, context_seconds=0.16,
+                                     noise_scale=0.0)
+    direct = np.concatenate(list(direct_conv.push(src))
+                            + list(direct_conv.flush()))
+
+    def stream_once(port, path, payload: bytes, piece=4096):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        try:
+            conn.putrequest("POST", path)
+            conn.putheader("Transfer-Encoding", "chunked")
+            conn.endheaders()
+            for i in range(0, len(payload), piece):
+                p = payload[i:i + piece]
+                conn.send(f"{len(p):x}\r\n".encode() + p + b"\r\n")
+            conn.send(b"0\r\n\r\n")
+            resp = conn.getresponse()
+            return resp.status, dict(resp.getheaders()), resp.read()
+        finally:
+            conn.close()
+
+    with ServingDaemon(converter, max_batch=2, window_ms=5) as daemon:
+        server = serve_http(daemon, host="127.0.0.1", port=0,
+                            max_stream_sessions=1)
+        port = server.server_address[1]
+        thread = th.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            path = ("/stream?sid=1&chunk_seconds=0.32&context_seconds=0.16"
+                    "&noise_scale=0.0&format=f32")
+            payload = src.astype("<f4").tobytes()
+            status, headers, body = stream_once(port, path, payload)
+            assert status == 200
+            assert headers.get("X-Sample-Rate") == \
+                str(converter.cfg.data.target_sampling_rate)
+            got = np.frombuffer(body, dtype="<f4")
+            np.testing.assert_allclose(got, direct, atol=1e-5)
+
+            # second connection: pooled session is reset + reused -> same out
+            status2, _, body2 = stream_once(port, path, payload)
+            assert status2 == 200
+            np.testing.assert_allclose(np.frombuffer(body2, dtype="<f4"),
+                                       direct, atol=1e-5)
+
+            # i16 wire: same audio within PCM-16 quantization
+            status3, _, body3 = stream_once(
+                port, path.replace("format=f32", "format=i16"),
+                (np.clip(src, -1, 1) * 32767).astype("<i2").tobytes())
+            got3 = np.frombuffer(body3, dtype="<i2").astype(np.float32) / 32767
+            assert status3 == 200
+            assert got3.shape == direct.shape
+            # input AND output are PCM-16 quantized here; the net amplifies
+            # the input's ~3e-5 step a little, so the bound is loose
+            np.testing.assert_allclose(got3, direct, atol=2e-2)
+
+            # wrong input rate -> 400
+            status4, _, _ = stream_once(port, path + "&rate=8000", b"")
+            assert status4 == 400
+        finally:
+            server.shutdown()
+
+
+@pytest.mark.slow
+def test_http_stream_busy_returns_503(converter):  # noqa: F811
+    import http.client
+    import threading as th
+
+    from vcvits_tpu.serving import serve_http
+
+    with ServingDaemon(converter, max_batch=2, window_ms=5) as daemon:
+        server = serve_http(daemon, host="127.0.0.1", port=0,
+                            max_stream_sessions=0)
+        port = server.server_address[1]
+        thread = th.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("POST", "/stream?sid=1", body=b"")
+            resp = conn.getresponse()
+            assert resp.status == 503
+            conn.close()
+        finally:
+            server.shutdown()

@@ -10,6 +10,11 @@ within a latency window and run as one device program per batch
   # convert:
   curl -X POST --data-binary @source.wav \
       "http://127.0.0.1:8300/convert?sid=3" -o out.wav
+  # live stream (raw 16 kHz mono i16 PCM in, chunked 48 kHz i16 PCM out):
+  arecord -f S16_LE -r 16000 -c 1 -t raw | \
+      curl -sN -X POST -H "Transfer-Encoding: chunked" -T - \
+      "http://127.0.0.1:8300/stream?sid=3&incremental=1" | \
+      aplay -f S16_LE -r 48000 -c 1 -t raw
   # observe:
   curl http://127.0.0.1:8300/stats
 """
@@ -43,6 +48,10 @@ def main() -> None:
                              "winner on slow links; mulaw additionally "
                              "halves the output side (8-bit companded, "
                              "telephony-grade) (docs/serving.md)")
+    parser.add_argument("--max-stream-sessions", type=int, default=4,
+                        help="cap on live POST /stream sessions (each holds "
+                             "a pooled compiled StreamingConverter; excess "
+                             "connections get 503)")
     parser.add_argument("--data-parallel", type=int, default=0, metavar="N",
                         help="shard every batch over the first N local "
                              "devices (power of two; params replicated). "
@@ -70,7 +79,8 @@ def main() -> None:
     with ServingDaemon(vc, max_batch=args.max_batch,
                        window_ms=args.window_ms,
                        transfer=args.transfer, mesh=mesh) as daemon:
-        server = serve_http(daemon, host=args.host, port=args.port)
+        server = serve_http(daemon, host=args.host, port=args.port,
+                            max_stream_sessions=args.max_stream_sessions)
         logging.info("serving on http://%s:%d (max_batch=%d window=%.0fms)",
                      args.host, args.port, args.max_batch, args.window_ms)
         try:

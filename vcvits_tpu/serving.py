@@ -393,10 +393,106 @@ class ServingDaemon:
                         r.future.set_exception(e)
 
 
+class StreamPool:
+    """Reusable pool of StreamingConverter sessions for /stream connections.
+
+    A fresh StreamingConverter per connection would re-trace its jitted
+    programs (its closures are new function objects, so jax's jit cache
+    misses); the pool hands out reset() converters keyed by the shape-
+    determining knobs (chunk/context seconds, incremental) and re-targets
+    speaker/noise/seed per connection — zero recompiles in steady state.
+    `max_sessions` bounds live sessions across all keys (each incremental
+    session holds per-layer conv state in device memory)."""
+
+    def __init__(self, vc: VoiceConverter, max_sessions: int = 4):
+        from vcvits_tpu.streaming import StreamingConverter
+
+        self._cls = StreamingConverter
+        self.vc = vc
+        self.max_sessions = max_sessions
+        self._idle: Dict[tuple, List] = {}
+        self._live = 0
+        self._lock = threading.Lock()
+
+    def acquire(self, speaker_id: int, chunk_seconds: float = 2.0,
+                context_seconds: float = 0.16, incremental: bool = False,
+                noise_scale: float = 1.0, rng_seed: int = 0):
+        """A ready session, or None when max_sessions are already live."""
+        key = (round(chunk_seconds, 6), round(context_seconds, 6),
+               bool(incremental))
+        with self._lock:
+            pool = self._idle.setdefault(key, [])
+            conv = pool.pop() if pool else None
+            if conv is None:
+                if self._live >= self.max_sessions:
+                    return None
+                self._live += 1
+        if conv is None:
+            conv = self._cls(self.vc, speaker_id=speaker_id,
+                             chunk_seconds=chunk_seconds,
+                             context_seconds=context_seconds,
+                             incremental=incremental,
+                             noise_scale=noise_scale, rng_seed=rng_seed)
+            conv._pool_key = key
+        else:
+            conv.set_speaker(speaker_id)
+            conv.noise_scale = noise_scale
+            conv.rng_seed = rng_seed
+        return conv
+
+    def release(self, conv) -> None:
+        conv.reset()
+        with self._lock:
+            self._idle[conv._pool_key].append(conv)
+
+
+def _iter_request_body(handler, block: int = 32768):
+    """Yield raw body bytes from a BaseHTTPRequestHandler request, handling
+    both Content-Length and Transfer-Encoding: chunked (stdlib's rfile is a
+    plain stream — chunk framing must be parsed by hand)."""
+    te = (handler.headers.get("Transfer-Encoding") or "").lower()
+    if "chunked" in te:
+        while True:
+            line = handler.rfile.readline(1024).strip()
+            if not line:
+                return
+            size = int(line.split(b";")[0], 16)
+            if size == 0:
+                handler.rfile.readline(1024)  # trailing CRLF (no trailers)
+                return
+            remaining = size
+            while remaining > 0:
+                piece = handler.rfile.read(min(block, remaining))
+                if not piece:
+                    return
+                remaining -= len(piece)
+                yield piece
+            handler.rfile.read(2)  # chunk-terminating CRLF
+    else:
+        remaining = int(handler.headers.get("Content-Length", 0))
+        while remaining > 0:
+            piece = handler.rfile.read(min(block, remaining))
+            if not piece:
+                return
+            remaining -= len(piece)
+            yield piece
+
+
 def serve_http(daemon: ServingDaemon, host: str = "127.0.0.1",
-               port: int = 8300):
-    """Minimal stdlib HTTP front-end (POST /convert?sid=N with a wav body
-    -> wav response). Returns the threading server; call serve_forever()."""
+               port: int = 8300, max_stream_sessions: int = 4):
+    """Minimal stdlib HTTP front-end. Returns the threading server; call
+    serve_forever().
+
+    * `POST /convert?sid=N` — wav body -> converted wav (micro-batched
+      through the daemon with every other in-flight request).
+    * `POST /stream?sid=N[&chunk_seconds=2.0][&context_seconds=0.16]
+      [&incremental=1][&noise_scale=1.0][&seed=0][&format=i16|f32]` —
+      live streaming: raw mono PCM at the source rate (16 kHz) in,
+      chunked-transfer raw PCM at 48 kHz out; output chunks are written
+      as soon as each audio chunk converts, while the request body is
+      still uploading. Sessions come from a compiled-converter pool
+      (`StreamPool`); 503 when `max_stream_sessions` are live.
+    """
     import os
     import tempfile
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -404,13 +500,18 @@ def serve_http(daemon: ServingDaemon, host: str = "127.0.0.1",
     from vcvits_tpu.utils.audio_io import read_wav, write_wav
 
     vc = daemon.vc
+    stream_pool = StreamPool(vc, max_sessions=max_stream_sessions)
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # chunked responses for /stream
         def do_POST(self):
             try:
                 from urllib.parse import parse_qs, urlparse
 
                 u = urlparse(self.path)
+                if u.path == "/stream":
+                    self._do_stream(parse_qs(u.query))
+                    return
                 if u.path != "/convert":
                     self.send_error(404)
                     return
@@ -462,6 +563,76 @@ def serve_http(daemon: ServingDaemon, host: str = "127.0.0.1",
                 self.wfile.write(data)
             except Exception as e:  # noqa: BLE001
                 self.send_error(500, str(e))
+
+        def _do_stream(self, q):
+            d = vc.cfg.data
+            sid = int(q.get("sid", ["0"])[0])
+            fmt = q.get("format", ["i16"])[0]
+            if fmt not in ("i16", "f32"):
+                self.send_error(400, f"unknown format {fmt!r}")
+                return
+            rate = int(q.get("rate", [str(d.source_sampling_rate)])[0])
+            if rate != d.source_sampling_rate:
+                self.send_error(
+                    400, f"stream input must be {d.source_sampling_rate} Hz "
+                         "mono PCM (resample client-side)")
+                return
+            conv = stream_pool.acquire(
+                sid,
+                chunk_seconds=float(q.get("chunk_seconds", ["2.0"])[0]),
+                context_seconds=float(q.get("context_seconds", ["0.16"])[0]),
+                incremental=q.get("incremental", ["0"])[0] in ("1", "true"),
+                noise_scale=float(q.get("noise_scale", ["1.0"])[0]),
+                rng_seed=int(q.get("seed", ["0"])[0]),
+            )
+            if conv is None:
+                self.send_error(503, "all streaming sessions busy")
+                return
+
+            width = 2 if fmt == "i16" else 4
+
+            def encode(piece: np.ndarray) -> bytes:
+                if fmt == "i16":
+                    return (np.clip(piece, -1.0, 1.0) * 32767.0) \
+                        .astype("<i2").tobytes()
+                return piece.astype("<f4").tobytes()
+
+            def write_chunk(data: bytes) -> None:
+                if data:
+                    self.wfile.write(f"{len(data):x}\r\n".encode())
+                    self.wfile.write(data)
+                    self.wfile.write(b"\r\n")
+
+            try:
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.send_header("X-Sample-Rate", str(d.target_sampling_rate))
+                self.send_header("X-Format", fmt)
+                self.end_headers()
+                carry = b""
+                for body_piece in _iter_request_body(self):
+                    carry += body_piece
+                    usable = len(carry) // width * width
+                    if not usable:
+                        continue
+                    samples = np.frombuffer(carry[:usable],
+                                            dtype="<i2" if fmt == "i16"
+                                            else "<f4")
+                    carry = carry[usable:]
+                    if fmt == "i16":
+                        samples = samples.astype(np.float32) / 32768.0
+                    for piece in conv.push(samples):
+                        write_chunk(encode(piece))
+                for piece in conv.flush():
+                    write_chunk(encode(piece))
+                self.wfile.write(b"0\r\n\r\n")
+            except BrokenPipeError:
+                # client hung up mid-stream; the chunked response is
+                # unterminated so the connection cannot be reused
+                self.close_connection = True
+            finally:
+                stream_pool.release(conv)
 
         def do_GET(self):
             if self.path == "/stats":

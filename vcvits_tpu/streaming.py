@@ -304,3 +304,15 @@ class StreamingConverter:
             self._frames_in = 0
             self._src_true = 0
             self._drop = self._sfd.delay_samples
+
+    def set_speaker(self, speaker_id: int) -> None:
+        """Re-target a (pooled, reset) converter to another speaker without
+        re-tracing any jitted program: windowed mode passes sid as a traced
+        argument; incremental mode only re-reads the embedding row host-side
+        (serving.StreamPool reuses converters across connections)."""
+        self.sid = int(speaker_id)
+        if self.incremental and self._g is not None:
+            import jax.numpy as jnp
+
+            emb = self.vc.g_params["emb_g"]["embedding"]
+            self._g = jnp.asarray(emb)[self.sid][None, :]
