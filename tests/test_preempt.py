@@ -152,10 +152,10 @@ def test_request_stop_and_time_limit(tmp_path):
     assert state is not None
     assert CheckpointManager(os.path.join(w1, "checkpoints")).latest_step() == 0
 
-    # max_seconds=0: deadline already passed -> same boundary behavior,
-    # exercised through the public fit() kwarg (the --time-limit CLI path)
+    # max_seconds=0 exactly: deadline already passed -> stop at the first
+    # boundary (regression: a falsy check once disabled the limit for 0.0)
     w2 = str(tmp_path / "logs2")
     tr2 = Trainer(cfg, workdir=w2, hubert_cfg=tiny_hubert)
-    state2 = tr2.fit(max_steps=50, max_seconds=1e-9)
+    state2 = tr2.fit(max_steps=50, max_seconds=0.0)
     assert state2 is not None
     assert CheckpointManager(os.path.join(w2, "checkpoints")).latest_step() == 0

@@ -325,3 +325,55 @@ def test_http_stream_busy_returns_503(converter):  # noqa: F811
             conn.close()
         finally:
             server.shutdown()
+
+
+def test_quantize_noise_bounds_compile_set():
+    from vcvits_tpu.serving import _quantize_noise
+
+    # noise_scale is a static jit arg: client floats must collapse onto a
+    # bounded grid so query params cannot grow the compile cache unboundedly
+    assert _quantize_noise(0.71) == 0.7
+    assert _quantize_noise(0.7200001) == _quantize_noise(0.72) == 0.7
+    assert _quantize_noise("0.33") == 0.35
+    assert _quantize_noise(-5.0) == 0.0
+    assert _quantize_noise(99.0) == 2.0
+    grid = {_quantize_noise(x) for x in np.linspace(-1, 3, 4001)}
+    assert len(grid) <= 41
+
+
+def test_stream_pool_evicts_idle_other_key():
+    """Idle sessions of one shape key must not 503 other keys (regression:
+    release never freed capacity, so exact-key-only reuse starved B)."""
+    from vcvits_tpu.serving import StreamPool
+
+    class FakeConv:
+        def __init__(self, vc, speaker_id, chunk_seconds, context_seconds,
+                     incremental, noise_scale, rng_seed):
+            self.chunk_seconds = chunk_seconds
+            self.noise_scale = noise_scale
+            self.rng_seed = rng_seed
+
+        def reset(self):
+            pass
+
+        def set_speaker(self, sid):
+            self.sid = sid
+
+    pool = StreamPool.__new__(StreamPool)
+    pool._cls, pool.vc, pool.max_sessions = FakeConv, None, 2
+    pool._idle, pool._live = {}, 0
+    pool._lock = threading.Lock()
+
+    a1 = pool.acquire(0, chunk_seconds=2.0)
+    a2 = pool.acquire(0, chunk_seconds=2.0)
+    assert a1 is not None and a2 is not None
+    assert pool.acquire(0, chunk_seconds=2.0) is None  # truly at capacity
+    pool.release(a1)
+    pool.release(a2)
+    # both idle under key A: a key-B acquire evicts one instead of 503ing
+    b1 = pool.acquire(3, chunk_seconds=0.32)
+    assert b1 is not None and b1.chunk_seconds == 0.32
+    # and the remaining idle A session is still reusable (exact-key hit)
+    a3 = pool.acquire(1, chunk_seconds=2.0)
+    assert a3 is a1 or a3 is a2
+    assert pool.acquire(0, chunk_seconds=2.0) is None  # 2 in use again

@@ -425,14 +425,29 @@ class StreamPool:
             conv = pool.pop() if pool else None
             if conv is None:
                 if self._live >= self.max_sessions:
-                    return None
+                    # capacity counts existing converters, idle included —
+                    # evict an idle one of another key so idle sessions
+                    # never starve differently-shaped requests; only
+                    # truly-in-use sessions can produce a 503
+                    for other in self._idle.values():
+                        if other:
+                            other.pop()  # dropped; GC frees device state
+                            self._live -= 1
+                            break
+                    if self._live >= self.max_sessions:
+                        return None
                 self._live += 1
         if conv is None:
-            conv = self._cls(self.vc, speaker_id=speaker_id,
-                             chunk_seconds=chunk_seconds,
-                             context_seconds=context_seconds,
-                             incremental=incremental,
-                             noise_scale=noise_scale, rng_seed=rng_seed)
+            try:
+                conv = self._cls(self.vc, speaker_id=speaker_id,
+                                 chunk_seconds=chunk_seconds,
+                                 context_seconds=context_seconds,
+                                 incremental=incremental,
+                                 noise_scale=noise_scale, rng_seed=rng_seed)
+            except BaseException:
+                with self._lock:
+                    self._live -= 1
+                raise
             conv._pool_key = key
         else:
             conv.set_speaker(speaker_id)
@@ -444,6 +459,14 @@ class StreamPool:
         conv.reset()
         with self._lock:
             self._idle[conv._pool_key].append(conv)
+
+
+def _quantize_noise(x: float) -> float:
+    """noise_scale is a *static* jit argument (a Python float baked into the
+    compiled program, infer.py `_infer`): quantize client-supplied values to
+    a 0.05 grid in [0, 2] so a free-form query param cannot grow the compile
+    cache without bound (at most 41 program variants per shape)."""
+    return min(max(round(float(x) * 20.0) / 20.0, 0.0), 2.0)
 
 
 def _iter_request_body(handler, block: int = 32768):
@@ -504,6 +527,11 @@ def serve_http(daemon: ServingDaemon, host: str = "127.0.0.1",
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # chunked responses for /stream
+        # socket inactivity bound: a stalled client must not hold a pooled
+        # /stream session (or a worker thread) forever — BaseRequestHandler
+        # applies this as the connection timeout; the read raises and the
+        # finally-block recycles the session
+        timeout = 600
         def do_POST(self):
             try:
                 from urllib.parse import parse_qs, urlparse
@@ -518,8 +546,11 @@ def serve_http(daemon: ServingDaemon, host: str = "127.0.0.1",
                 q = parse_qs(u.query)
                 sid = int(q.get("sid", ["0"])[0])
                 shift = int(q.get("pitch_shift", ["0"])[0])
-                noise = float(q.get("noise_scale", ["1.0"])[0])
-                body = self.rfile.read(int(self.headers["Content-Length"]))
+                noise = _quantize_noise(q.get("noise_scale", ["1.0"])[0])
+                # handles both Content-Length and chunked uploads — the
+                # handler advertises HTTP/1.1, so compliant clients may
+                # legally send Transfer-Encoding: chunked here too
+                body = b"".join(_iter_request_body(self))
                 # in-repo RIFF parser (utils/audio_io.py — no soundfile dep)
                 with tempfile.NamedTemporaryFile(suffix=".wav",
                                                  delete=False) as tf:
@@ -582,7 +613,7 @@ def serve_http(daemon: ServingDaemon, host: str = "127.0.0.1",
                 chunk_seconds=float(q.get("chunk_seconds", ["2.0"])[0]),
                 context_seconds=float(q.get("context_seconds", ["0.16"])[0]),
                 incremental=q.get("incremental", ["0"])[0] in ("1", "true"),
-                noise_scale=float(q.get("noise_scale", ["1.0"])[0]),
+                noise_scale=_quantize_noise(q.get("noise_scale", ["1.0"])[0]),
                 rng_seed=int(q.get("seed", ["0"])[0]),
             )
             if conv is None:
@@ -621,15 +652,18 @@ def serve_http(daemon: ServingDaemon, host: str = "127.0.0.1",
                                             else "<f4")
                     carry = carry[usable:]
                     if fmt == "i16":
-                        samples = samples.astype(np.float32) / 32768.0
+                        samples = samples.astype(np.float32) / 32767.0
                     for piece in conv.push(samples):
                         write_chunk(encode(piece))
                 for piece in conv.flush():
                     write_chunk(encode(piece))
                 self.wfile.write(b"0\r\n\r\n")
-            except BrokenPipeError:
-                # client hung up mid-stream; the chunked response is
-                # unterminated so the connection cannot be reused
+            except Exception:  # noqa: BLE001
+                # Any mid-stream failure — client hang-up, socket timeout,
+                # malformed chunk framing, converter error — lands here
+                # AFTER the 200 + chunked headers went out, so a 500 can't
+                # be sent (its bytes would corrupt the open chunked body);
+                # the response is unterminated, so drop the connection.
                 self.close_connection = True
             finally:
                 stream_pool.release(conv)

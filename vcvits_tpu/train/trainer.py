@@ -225,7 +225,10 @@ class Trainer:
                 "received %s: checkpointing and exiting at the next step "
                 "boundary (send again to kill immediately)", name)
             # a second signal falls through to the default handler
-            signal.signal(signum, prev.get(signum, signal.SIG_DFL))
+            # (getsignal/signal report None for handlers installed by
+            # non-Python code — substitute SIG_DFL, None is not settable)
+            old = prev.get(signum)
+            signal.signal(signum, signal.SIG_DFL if old is None else old)
         prev = {}
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
@@ -278,10 +281,12 @@ class Trainer:
         step_no = 0
         rng = jax.random.PRNGKey(cfg.train.seed)
         t_log = time.perf_counter()
-        deadline = (time.monotonic() + max_seconds) if max_seconds else None
+        deadline = (time.monotonic() + max_seconds) \
+            if max_seconds is not None else None  # 0 = stop at first boundary
         # NOTE: _stop_reason is NOT cleared here — request_stop() may
         # legitimately arrive before fit() (e.g. a wrapping scheduler);
-        # _finish() consumes it so a later fit() starts fresh.
+        # the finally block consumes it so a later fit() starts fresh even
+        # when this one exits via an exception.
         handlers = self._install_preemption_handlers()
         try:
             for epoch in range(cfg.train.max_epochs):
@@ -339,11 +344,14 @@ class Trainer:
                 return self._finish(state, int(state.step))
             return state
         finally:
+            # consumed (or abandoned, when fit() exits via an exception):
+            # a later fit() in this process must start fresh, not inherit
+            # a stale stop flag and "gracefully stop" at step 0
+            self._stop_reason = None
             for sig, old in handlers:
-                signal.signal(sig, old)
+                signal.signal(sig, signal.SIG_DFL if old is None else old)
 
     def _finish(self, state, step_no: int):
-        self._stop_reason = None  # consumed; a later fit() starts fresh
         if self.ckpt.latest_step() != step_no:
             self.ckpt.save(step_no, state)
         self.ckpt.wait()
