@@ -66,3 +66,26 @@ def test_exact_restore_not_flagged(tmp_path):
     _, template = _tiny_state()
     restored, changed = mgr.restore_tolerant(template, 1)
     assert not changed
+
+
+def test_restore_raw_is_numpy_and_sharding_agnostic(tmp_path):
+    """restore_raw must yield host numpy leaves (not device arrays pinned to
+    the save-time topology): a checkpoint saved in a CPU process must load
+    in a TPU process and vice versa — plain restore(step) replays the saved
+    shardings and fails with 'Device TFRT_CPU_0 was not found'."""
+    cfg, state = _tiny_state()
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(3, state)
+    mgr.wait()
+
+    raw = mgr.restore_raw()  # default: latest step
+    leaves = jax.tree.leaves(raw)
+    assert leaves and all(isinstance(v, np.ndarray) for v in leaves)
+    np.testing.assert_array_equal(
+        raw["g_params"]["emb_g"]["embedding"],
+        np.asarray(state.g_params["emb_g"]["embedding"]),
+    )
+    assert set(raw.keys()) >= {"g_params", "d_params", "step"}
+
+    with pytest.raises(FileNotFoundError):
+        CheckpointManager(str(tmp_path / "empty")).restore_raw()

@@ -22,7 +22,7 @@ def _pyproject() -> dict:
 
 def test_console_scripts_resolve():
     scripts = _pyproject()["project"]["scripts"]
-    assert len(scripts) == 7
+    assert len(scripts) == 8
     for name, target in scripts.items():
         mod_name, func_name = target.split(":")
         mod = importlib.import_module(mod_name)
@@ -33,7 +33,7 @@ def test_root_shims_match_cli_modules():
     # `python train.py ...` (reference-style flat usage) must hit the same
     # main as the installed `vcvits-train`.
     for shim in ("train", "infer", "serve", "filelist", "split",
-                 "train_tts", "convert_checkpoint"):
+                 "train_tts", "infer_tts", "convert_checkpoint"):
         path = os.path.join(ROOT, f"{shim}.py")
         assert os.path.exists(path), shim
         src = open(path).read()

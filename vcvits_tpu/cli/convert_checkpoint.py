@@ -41,16 +41,15 @@ def main() -> None:
     cfg = load_config(args.config)
 
     if args.export:
-        import orbax.checkpoint as ocp
-
         from vcvits_tpu.convert.export_torch import export_lightning_checkpoint
+        from vcvits_tpu.train.checkpoint import CheckpointManager
 
         ckpt_dir = os.path.abspath(os.path.join(args.workdir, "checkpoints"))
-        mgr = ocp.CheckpointManager(ckpt_dir)
+        mgr = CheckpointManager(ckpt_dir)
         step = args.step if args.step is not None else mgr.latest_step()
         if step is None:
             raise SystemExit(f"no checkpoint under {ckpt_dir}")
-        raw = mgr.restore(step)
+        raw = mgr.restore_raw(step)  # sharding-agnostic (CPU ckpt on TPU etc.)
         sd = export_lightning_checkpoint(
             args.export, raw["g_params"], cfg, d_params=raw.get("d_params"))
         print(f"exported step {step} -> {args.export} ({len(sd)} tensors, "

@@ -66,14 +66,16 @@ class VoiceConverter:
         cls, workdir: str, cfg: Optional[Config] = None,
         step: Optional[int] = None, dtype=jnp.float32, hubert_cfg=None,
     ) -> "VoiceConverter":
-        import orbax.checkpoint as ocp
+        from vcvits_tpu.train.checkpoint import CheckpointManager
 
         ckpt_dir = os.path.abspath(os.path.join(workdir, "checkpoints"))
-        mgr = ocp.CheckpointManager(ckpt_dir)
+        mgr = CheckpointManager(ckpt_dir)
         step = step if step is not None else mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
-        raw = mgr.restore(step)
+        # sharding-agnostic numpy restore: a CPU-trained checkpoint must
+        # load in a TPU inference process (and vice versa)
+        raw = mgr.restore_raw(step)
         logger.info("loaded checkpoint step %d from %s", step, ckpt_dir)
         if cfg is None:
             cfg_path = os.path.join(workdir, "config.json")

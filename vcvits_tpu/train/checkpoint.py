@@ -53,6 +53,21 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore as a pytree of host numpy arrays, ignoring the device
+        shardings Orbax recorded at save time.
+
+        A plain ``restore(step)`` replays the saved shardings, so a
+        checkpoint written in a CPU process fails to load on TPU (and vice
+        versa) with "Device TFRT_CPU_0 was not found". Numpy leaves are
+        topology-agnostic; callers re-shard (``shard_replicated`` /
+        ``device_put``) as needed.
+        """
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        return restore_raw_arrays(os.path.join(self.directory, str(step)))
+
     def restore_tolerant(
         self, template: GANTrainState, step: Optional[int] = None
     ) -> Tuple[GANTrainState, bool]:
@@ -62,7 +77,7 @@ class CheckpointManager:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
-        raw = self._mgr.restore(step)  # unvalidated pytree of arrays
+        raw = self.restore_raw(step)  # unvalidated pytree of host arrays
 
         changed = [False]
 
@@ -101,6 +116,17 @@ class CheckpointManager:
         else:
             state = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         return state, changed[0]
+
+
+def restore_raw_arrays(step_dir: str, item: str = "default") -> Any:
+    """Load one Orbax step directory as numpy, sharding-agnostically."""
+    path = os.path.join(step_dir, item)
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path)
+    meta = getattr(meta, "item_metadata", meta)  # StepMetadata (orbax >=0.11)
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 def _flatten(tree, prefix=()) -> dict:
