@@ -43,9 +43,9 @@ def main() -> None:
     parser.add_argument("-c", "--config", default=None)
     parser.add_argument("--step", type=int, default=None,
                         help="checkpoint step (default: latest)")
-    parser.add_argument("--cleaners", default="english_cleaners",
-                        help="comma-separated text cleaners (must match "
-                             "training)")
+    parser.add_argument("--cleaners", nargs="+", default=["english_cleaners"],
+                        help="text cleaners, space-separated (must match "
+                             "training; same format as train_tts)")
     parser.add_argument("--add-blank", action="store_true",
                         help="intersperse blank tokens (must match training)")
     args = parser.parse_args()
@@ -55,8 +55,8 @@ def main() -> None:
     texts = list(args.text)
     if args.text_file:
         with open(args.text_file) as f:
-            texts += [ln.strip() for ln in f
-                      if ln.strip() and not ln.startswith("#")]
+            lines = [ln.strip() for ln in f]
+            texts += [ln for ln in lines if ln and not ln.startswith("#")]
     if not texts:
         parser.error("no text given (positional or --text-file)")
 
@@ -66,7 +66,7 @@ def main() -> None:
     cfg = load_config(args.config) if args.config else None
     tts = TTSSynthesizer.from_checkpoint(
         args.workdir, cfg=cfg, step=args.step,
-        cleaners=tuple(args.cleaners.split(",")), add_blank=args.add_blank,
+        cleaners=tuple(args.cleaners), add_blank=args.add_blank,
     )
 
     if len(texts) > 1:
@@ -78,11 +78,13 @@ def main() -> None:
         os.makedirs(parent, exist_ok=True)
         outs = [args.output]
 
-    for text, out in zip(texts, outs):
+    # per-utterance seed offset: duplicate lines get independent (but still
+    # reproducible) SDP/prior noise instead of bit-identical audio
+    for i, (text, out) in enumerate(zip(texts, outs)):
         tts.synthesize_to_file(
             text, out, sid=args.sid, noise_scale=args.noise_scale,
             noise_scale_w=args.noise_scale_w, length_scale=args.length_scale,
-            seed=args.seed, max_frames=args.max_frames,
+            seed=args.seed + i, max_frames=args.max_frames,
         )
 
 

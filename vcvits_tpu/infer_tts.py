@@ -85,7 +85,15 @@ class TTSSynthesizer:
         logger.info("loaded TTS checkpoint step %d from %s", step, ckpt_dir)
         if cfg is None:
             cfg_path = os.path.join(workdir, "config.json")
-            cfg = load_config(cfg_path) if os.path.exists(cfg_path) else Config()
+            if os.path.exists(cfg_path):
+                cfg = load_config(cfg_path)
+            else:
+                # a default Config() here would fail later with opaque flax
+                # param-shape errors; fail clearly at the source instead
+                raise FileNotFoundError(
+                    f"no config.json under {workdir} and no cfg= given; "
+                    "pass the training config explicitly (-c) or restore a "
+                    "workdir that persisted one")
         return cls(cfg, raw["g_params"], dtype=dtype, cleaners=cleaners,
                    add_blank=add_blank, **kwargs)
 
