@@ -230,6 +230,38 @@ def main() -> None:
     except Exception:
         pass
 
+    # ---- 4) BASELINE config 1: configs/base.json (hubert_xtralarge,
+    #         256 mels) single-utterance inference RTF ------------------
+    rtf_22k = None
+    try:
+        from vcvits_tpu.config import load_config
+
+        cfg22 = load_config(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "configs", "base.json"))
+        model22 = SynthesizerSVC.from_config(cfg22, dtype=jnp.bfloat16)
+        params22 = jax.jit(
+            lambda k: model22.init({"params": k, "sample": k}, wav0, x_lens1,
+                                   pitch0, sid1, method=SynthesizerSVC.infer)
+        )(key)
+        jax.block_until_ready(params22)
+
+        infer22 = jax.jit(lambda p, w, l, pi, s, k: (
+            lambda o: jnp.mean(jnp.abs(o[0].astype(jnp.float32))))(
+            model22.apply(p, w, l, pi, s, rng=k, method=SynthesizerSVC.infer)))
+        float(infer22(params22, wav0, x_lens1, pitch0, sid1, key))  # warm
+        ts22 = []
+        for i in range(8):
+            wav, pitch = make_inputs(200 + i, 1)
+            k = jax.random.PRNGKey(200 + i)
+            jax.block_until_ready((wav, pitch))
+            t0 = time.perf_counter()
+            float(infer22(params22, wav, x_lens1, pitch, sid1, k))
+            ts22.append(time.perf_counter() - t0)
+        rtf_22k = round(audio_seconds / float(np.median(ts22)), 1)
+        del params22
+    except Exception:
+        pass
+
     out = {
         "metric": "rtf_48k_any_to_any_conversion",
         "value": round(rtf, 1),
@@ -246,6 +278,9 @@ def main() -> None:
             "mfu_infer_bf16": round(mfu, 4) if mfu else None,
             "mfu_infer_device_bf16": round(mfu_device, 4) if mfu_device else None,
             "mfu_train_bf16": mfu_train,
+            # BASELINE config 1 (configs/base.json, hubert_xtralarge):
+            # 10 s single-utterance conversion RTF, bf16
+            "rtf_22k": rtf_22k,
             "decoder_fold_tail": True,
         },
     }

@@ -35,6 +35,7 @@ def test_fused_matches_xla(tile):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_masked_batch():
     """Ragged batch: per-row masks + per-row speaker conditioning."""
     flow, params, x, mask, g = _setup(t=48, batch=3, seed=7)
@@ -53,6 +54,7 @@ def test_fused_no_speaker():
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_roundtrip_through_forward():
     """forward(fused_reverse(x)) == x on the valid region."""
     flow, params, x, mask, g = _setup(t=32)

@@ -111,6 +111,7 @@ def test_resblock_phase_split_exact(rng):
                                np.asarray(m0.apply(v, x)), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_hifigan_phase_split_parity(rng):
     """Full decoder, phase_split vs unfolded: T=13 latent frames make every
     tail stage pad (13*8*8=832 is not a multiple of 15*fold), exercising the

@@ -32,7 +32,8 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--modes", default="folded,unfolded",
-                    help="comma list of folded|unfolded|phase_split")
+                    help="comma list of folded|unfolded|phase_split|int8 "
+                         "(int8 = folded + dynamic W8A8 convs)")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +64,7 @@ def main():
             gin_channels=m.gin_channels,
             fold_tail=(mode != "unfolded"),
             phase_split=(mode == "phase_split"),
+            quant_int8=(mode == "int8"),
             dtype=dtype,
         )
         if params is None:

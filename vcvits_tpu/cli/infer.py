@@ -37,6 +37,10 @@ def main() -> None:
     parser.add_argument("--noise-scale", type=float, default=1.0)
     parser.add_argument("--workdir", default="logs")
     parser.add_argument("-c", "--config", default=None)
+    parser.add_argument("--int8-decoder", action="store_true",
+                        help="dynamic W8A8 int8 decoder convs (~2x MXU rate "
+                             "on the vocoder; same checkpoint, small "
+                             "quantization noise — see docs/quantization)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -45,7 +49,8 @@ def main() -> None:
     from vcvits_tpu.infer import VoiceConverter
 
     cfg = load_config(args.config) if args.config else None
-    vc = VoiceConverter.from_checkpoint(args.workdir, cfg=cfg)
+    vc = VoiceConverter.from_checkpoint(args.workdir, cfg=cfg,
+                                        quant_int8=args.int8_decoder)
 
     if len(args.source) > 1:
         # colliding basenames would silently overwrite one another

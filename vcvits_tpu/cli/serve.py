@@ -41,6 +41,10 @@ def main() -> None:
     parser.add_argument("--window-ms", type=float, default=25.0,
                         help="micro-batch latency window")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--int8-decoder", action="store_true",
+                        help="dynamic W8A8 int8 decoder convs (~2x MXU rate "
+                             "on the vocoder; same checkpoint, small "
+                             "quantization noise — see docs/quantization)")
     parser.add_argument("--transfer", default="f32",
                         choices=("f32", "f16", "i16", "mulaw"),
                         help="device<->host wire format; i16 quarters the "
@@ -69,7 +73,8 @@ def main() -> None:
     cfg = load_config(args.config) if args.config else None
     vc = VoiceConverter.from_checkpoint(
         args.workdir, cfg=cfg,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        quant_int8=args.int8_decoder)
     mesh = None
     if args.data_parallel:
         import jax

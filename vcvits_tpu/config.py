@@ -159,6 +159,11 @@ class ModelConfig:
     # dilated MRF taps. Default set by measurement (tools/bench_decoder.py
     # --phase-split A/B); not a JSON key in the reference.
     dec_phase_split: bool = False
+    # Dynamic W8A8 int8 decoder convs (models/hifigan.py quant_int8):
+    # inference-only, same checkpoint (weights quantize at call time).
+    # Not a JSON key in the reference; default OFF — enable per run with
+    # --int8-decoder on the infer/serve CLIs.
+    dec_quant_int8: bool = False
 
 
 @dataclass(frozen=True)

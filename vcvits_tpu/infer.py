@@ -34,12 +34,17 @@ logger = logging.getLogger(__name__)
 
 
 class VoiceConverter:
-    def __init__(self, cfg: Config, g_params, dtype=jnp.float32, hubert_cfg=None):
+    def __init__(self, cfg: Config, g_params, dtype=jnp.float32, hubert_cfg=None,
+                 quant_int8: bool = False):
         self.cfg = cfg
         self.g_params = g_params
         gen = SynthesizerSVC.from_config(cfg, dtype=dtype)
         if hubert_cfg is not None:
             gen = gen.clone(hubert_cfg=hubert_cfg)
+        if quant_int8:
+            # dynamic W8A8 int8 decoder convs — same checkpoint, weights
+            # quantize at call time (hifigan.py quant_int8)
+            gen = gen.clone(dec_quant_int8=True)
         self.gen = gen
         self.unit = alignment_unit(cfg.data)
         self._infer = jax.jit(
@@ -65,6 +70,7 @@ class VoiceConverter:
     def from_checkpoint(
         cls, workdir: str, cfg: Optional[Config] = None,
         step: Optional[int] = None, dtype=jnp.float32, hubert_cfg=None,
+        quant_int8: bool = False,
     ) -> "VoiceConverter":
         from vcvits_tpu.train.checkpoint import CheckpointManager
 
@@ -80,7 +86,8 @@ class VoiceConverter:
         if cfg is None:
             cfg_path = os.path.join(workdir, "config.json")
             cfg = load_config(cfg_path) if os.path.exists(cfg_path) else Config()
-        return cls(cfg, raw["g_params"], dtype=dtype, hubert_cfg=hubert_cfg)
+        return cls(cfg, raw["g_params"], dtype=dtype, hubert_cfg=hubert_cfg,
+                   quant_int8=quant_int8)
 
     # --------------------------------------------------------------- convert
     def prepare_source(

@@ -49,6 +49,7 @@ class ResBlock1(nn.Module):
     dilations: Tuple[int, ...] = (1, 3, 5)
     fold: int = 1
     phase_split: bool = False
+    quant_int8: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -63,13 +64,14 @@ class ResBlock1(nn.Module):
                 xt = xt * x_mask
             xt = Conv1d(self.channels, self.kernel_size, dilation=d, weight_norm=True,
                         fold=self.fold, phase_split=self.phase_split,
-                        kernel_init=normal_init(),
+                        quant_int8=self.quant_int8, kernel_init=normal_init(),
                         dtype=self.dtype, name=f"c1_{i}")(xt)
             xt = leaky_relu(xt, LRELU_SLOPE)
             if x_mask is not None:
                 xt = xt * x_mask
             xt = Conv1d(self.channels, self.kernel_size, dilation=1, weight_norm=True,
-                        fold=self.fold, kernel_init=normal_init(),
+                        fold=self.fold, quant_int8=self.quant_int8,
+                        kernel_init=normal_init(),
                         dtype=self.dtype, name=f"c2_{i}")(xt)
             x = xt + x
         if x_mask is not None:
@@ -85,6 +87,7 @@ class ResBlock2(nn.Module):
     dilations: Tuple[int, ...] = (1, 3)
     fold: int = 1
     phase_split: bool = False
+    quant_int8: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -95,7 +98,7 @@ class ResBlock2(nn.Module):
                 xt = xt * x_mask
             xt = Conv1d(self.channels, self.kernel_size, dilation=d, weight_norm=True,
                         fold=self.fold, phase_split=self.phase_split,
-                        kernel_init=normal_init(),
+                        quant_int8=self.quant_int8, kernel_init=normal_init(),
                         dtype=self.dtype, name=f"c_{i}")(xt)
             x = xt + x
         if x_mask is not None:
@@ -131,6 +134,13 @@ class HiFiGANGenerator(nn.Module):
     # 15*fold (lcm of the d=3/5 splits), handled here with zero masks that
     # keep 'same'-padding semantics exact.
     phase_split: bool = False
+    # Dynamic W8A8 int8 quantization of every decoder conv (ops/
+    # int8_conv.py): int8 MXU passes at ~2x the bf16 FLOP rate, per-channel
+    # weight + per-row activation scales, same checkpoint (weights quantize
+    # at call time). INFERENCE ONLY — no gradient through round(). Parity
+    # gate: tests/test_int8_decoder.py; measured probe:
+    # reports/probe_int8.json (1.15-1.25x at these conv shapes).
+    quant_int8: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -143,6 +153,7 @@ class HiFiGANGenerator(nn.Module):
         num_kernels = len(self.resblock_kernel_sizes)
         use_fused = (fused_mrf and self.resblock == "1"
                      and not self.phase_split
+                     and not self.quant_int8
                      and not self.is_initializing()
                      and jax.devices()[0].platform == "tpu")
         if use_fused:
@@ -151,6 +162,7 @@ class HiFiGANGenerator(nn.Module):
                 mrf_weight_bytes)
 
         x = Conv1d(self.upsample_initial_channel, 7, padding=(3, 3), weight_norm=True,
+                   quant_int8=self.quant_int8,
                    dtype=self.dtype, name="conv_pre")(x)
         if g is not None and self.gin_channels > 0:
             x = x + nn.Dense(self.upsample_initial_channel, dtype=self.dtype,
@@ -174,6 +186,7 @@ class HiFiGANGenerator(nn.Module):
                 # the static length divides — tiny test shapes fold less).
                 x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
                                     weight_norm=True, fold_in=fold,
+                                    quant_int8=self.quant_int8,
                                     kernel_init=normal_init(),
                                     dtype=self.dtype, name=f"up_{i}")(x)
                 t_unfolded = x.shape[1] * fold * u
@@ -206,7 +219,8 @@ class HiFiGANGenerator(nn.Module):
                     fold = fold_next
             else:
                 x = ConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
-                                    weight_norm=True, kernel_init=normal_init(),
+                                    weight_norm=True, quant_int8=self.quant_int8,
+                                    kernel_init=normal_init(),
                                     dtype=self.dtype, name=f"up_{i}")(x)
             itemsize = jnp.dtype(self.dtype).itemsize
             if use_fused and mrf_weight_bytes(
@@ -230,12 +244,14 @@ class HiFiGANGenerator(nn.Module):
                 ):
                     block = res_cls(ch, rk, tuple(rd), fold=fold,
                                     phase_split=self.phase_split,
+                                    quant_int8=self.quant_int8,
                                     dtype=self.dtype, name=f"res_{i}_{j}")
                     xs = block(x, mask) if xs is None else xs + block(x, mask)
                 x = xs / num_kernels
 
         x = leaky_relu(x, 0.01)  # final activation uses torch's default slope
         x = Conv1d(1, 7, padding=(3, 3), weight_norm=True, fold=fold,
+                   quant_int8=self.quant_int8,
                    dtype=self.dtype, name="conv_post")(x)
         x = unfold_time(x, fold)
         if x.shape[1] > t_valid:  # drop the phase-split stage padding

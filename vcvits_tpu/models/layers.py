@@ -132,6 +132,13 @@ class Conv1d(nn.Module):
     # params, same taps in the same order. Ignored unless in_ch == 1,
     # groups == 1, fold == 1.
     im2col: bool = False
+    # quant_int8: dynamic W8A8 int8 conv (ops/int8_conv.py) — int8 MXU
+    # passes at ~2x the bf16 rate, per-output-channel weight scales +
+    # per-row activation scales, int32 accumulation. Inference only
+    # (no gradient through round()); same params/checkpoint, quantization
+    # happens at call time on the materialized weight-normed kernel.
+    # Ignored on the im2col path (not a decoder shape).
+    quant_int8: bool = False
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
     dtype: Dtype = jnp.float32
@@ -182,19 +189,25 @@ class Conv1d(nn.Module):
                 wg, gpad = fold_phase_split_conv_kernel(kernel, d, f_ps)
                 xr = refold_time(x.astype(self.dtype), self.fold, f_ps)
                 xr = phase_split_reorder(xr, d, f_ps)
-                y = jax.lax.conv_general_dilated(
-                    xr, wg, window_strides=(1,), padding=[gpad],
-                    dimension_numbers=("NHC", "HIO", "NHC"),
-                    feature_group_count=d,
-                    precision=conv_precision(self.dtype))
-                if b is not None:
-                    y = y + jnp.tile(b, f_ps).astype(y.dtype)
+                if self.quant_int8:
+                    from vcvits_tpu.ops.int8_conv import int8_conv1d
+                    y = int8_conv1d(xr, wg, gpad, bias=b, groups=d,
+                                    fold_out=f_ps, out_dtype=self.dtype)
+                else:
+                    y = jax.lax.conv_general_dilated(
+                        xr, wg, window_strides=(1,), padding=[gpad],
+                        dimension_numbers=("NHC", "HIO", "NHC"),
+                        feature_group_count=d,
+                        precision=conv_precision(self.dtype))
+                    if b is not None:
+                        y = y + jnp.tile(b, f_ps).astype(y.dtype)
                 y = phase_split_reorder(y, d, f_ps, inverse=True)
                 return refold_time(y, f_ps, self.fold)
             wf, fpad = fold_same_conv_kernel(kernel, self.dilation, self.fold)
             return folded_conv_apply(x.astype(self.dtype), wf, fpad, bias=b,
                                      fold_out=self.fold,
-                                     precision=conv_precision(self.dtype))
+                                     precision=conv_precision(self.dtype),
+                                     quant_int8=self.quant_int8)
 
         if self.padding == "same":
             pad = [torch_same_padding(self.kernel_size, self.dilation)]
@@ -218,6 +231,14 @@ class Conv1d(nn.Module):
                 b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
                 y = y + b.astype(self.dtype)
             return y
+
+        if self.quant_int8:
+            from vcvits_tpu.ops.int8_conv import int8_conv1d
+            b = (self.param("bias", self.bias_init, (self.features,),
+                            jnp.float32) if self.use_bias else None)
+            return int8_conv1d(x.astype(self.dtype), kernel, pad[0], bias=b,
+                               dilation=self.dilation, stride=self.stride,
+                               groups=self.groups, out_dtype=self.dtype)
 
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
@@ -254,6 +275,8 @@ class ConvTranspose1d(nn.Module):
     # by stride*fold_in (phase-decomposed transposed conv — exact, and for
     # k = stride it is one dense matmul instead of an lhs-dilated conv).
     fold_in: int = 0  # 0 = unfolded path
+    # quant_int8: dynamic W8A8 int8 conv — see Conv1d.quant_int8.
+    quant_int8: bool = False
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Dtype = jnp.float32
 
@@ -280,12 +303,20 @@ class ConvTranspose1d(nn.Module):
                  if self.use_bias else None)
             return folded_conv_apply(x.astype(self.dtype), wf, fpad, bias=b,
                                      fold_out=self.stride * self.fold_in,
-                                     precision=conv_precision(self.dtype))
+                                     precision=conv_precision(self.dtype),
+                                     quant_int8=self.quant_int8)
 
         # Equivalent regular conv: dilate input by stride, pad k-1-p, flip kernel.
         k, p, s = self.kernel_size, self.padding, self.stride
         kernel_flipped = jnp.flip(kernel, axis=0)  # [k, out, in]
         kernel_hio = jnp.transpose(kernel_flipped, (0, 2, 1))  # [k, in, out]
+        if self.quant_int8:
+            from vcvits_tpu.ops.int8_conv import int8_conv1d
+            b = (self.param("bias", nn.initializers.zeros, (self.features,),
+                            jnp.float32) if self.use_bias else None)
+            return int8_conv1d(x.astype(self.dtype), kernel_hio,
+                               (k - 1 - p, k - 1 - p), bias=b,
+                               lhs_dilation=s, out_dtype=self.dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel_hio,

@@ -82,6 +82,10 @@ class SynthesizerSVC(nn.Module):
     # grouped convs remove the dense folded kernel's dilated-tap
     # densification — exact, same checkpoint (tests/test_folded_conv.py).
     dec_phase_split: bool = False
+    # Dynamic W8A8 int8 decoder convs (hifigan.py quant_int8): ~2x MXU
+    # rate on the decoder's conv shapes, inference only (no VJP). Same
+    # checkpoint; parity gate tests/test_int8_decoder.py.
+    dec_quant_int8: bool = False
     dtype: Dtype = jnp.float32
 
     @classmethod
@@ -108,6 +112,7 @@ class SynthesizerSVC(nn.Module):
             n_speakers=cfg.data.n_speakers,
             gin_channels=m.gin_channels,
             dec_phase_split=m.dec_phase_split,
+            dec_quant_int8=m.dec_quant_int8,
             dtype=dtype,
         )
 
@@ -134,6 +139,7 @@ class SynthesizerSVC(nn.Module):
             upsample_kernel_sizes=self.upsample_kernel_sizes,
             gin_channels=self.gin_channels,
             phase_split=self.dec_phase_split,
+            quant_int8=self.dec_quant_int8,
             dtype=self.dtype,
         )
         self.enc_q = PosteriorEncoder(

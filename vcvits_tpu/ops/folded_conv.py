@@ -234,8 +234,17 @@ def folded_conv_apply(
     bias: Optional[jax.Array] = None,
     fold_out: int = 1,
     precision=None,
+    quant_int8: bool = False,
 ) -> jax.Array:
-    """Run the folded conv: [B, T', F_in*Ci] x [K, F_in*Ci, F_out*Co]."""
+    """Run the folded conv: [B, T', F_in*Ci] x [K, F_in*Ci, F_out*Co].
+
+    quant_int8 routes through the dynamic W8A8 path (ops/int8_conv.py) —
+    int8 x int8 -> int32 on the MXU, dequant fused into the bias add.
+    Inference only (round() has no gradient)."""
+    if quant_int8:
+        from vcvits_tpu.ops.int8_conv import int8_conv1d
+        return int8_conv1d(x_folded, folded_kernel, pad, bias=bias,
+                           fold_out=fold_out, out_dtype=x_folded.dtype)
     y = jax.lax.conv_general_dilated(
         x_folded, folded_kernel,
         window_strides=(1,), padding=[pad],

@@ -1,0 +1,91 @@
+"""Dynamic W8A8 int8 convolution for the quantized inference decoder.
+
+The v5e MXU runs int8 x int8 -> int32 at ~2x its bf16 FLOP rate, and XLA
+lowers `conv_general_dilated(int8, int8, preferred_element_type=int32)`
+onto it (measured: tools/probe_int8.py, reports/probe_int8.json — 1.15-1.25x
+at decoder conv shapes). This module is the production counterpart of that
+probe: symmetric per-output-channel weight quantization + dynamic symmetric
+per-sample activation quantization, int32 accumulation, dequant fused into
+the bias add.
+
+Semantics (inference only — there is no VJP here on purpose):
+  w_scale[o] = max|W[:, :, o]| / 127          (per output channel)
+  a_scale[b] = max|x[b]| / 127                (dynamic, per batch row)
+  y = conv(round(x/a_scale), round(W/w_scale)) * a_scale * w_scale + bias
+
+Per-ROW activation scales (not per-frame) because a conv mixes taps across
+time: every tap must share one scale or the int32 accumulation cannot be
+rescaled exactly. Weight quantization happens at call time on the
+materialized (weight-normed) kernel — same checkpoint, no conversion step;
+the rounding is VPU noise next to the conv itself.
+
+Used by HiFiGANGenerator(quant_int8=True) — the decoder is the hot path the
+reference outsources to torch.hub (synthesizer_svc.py:59) and carries
+~70-80% of inference FLOPs (reports/flops_budget.json). Default OFF;
+parity gate in tests/test_int8_decoder.py, measured deltas in BENCH.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight_per_channel(kernel: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[..., Co] float kernel -> (int8 kernel, [Co] float32 scales)."""
+    kf = kernel.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1)))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(kf / scale), -127, 127).astype(jnp.int8)
+    return wq, scale
+
+
+def quantize_act_per_row(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[B, T, C] float acts -> (int8 acts, [B, 1, 1] float32 scales)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=(1, 2), keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def int8_conv1d(
+    x: jax.Array,
+    kernel: jax.Array,
+    pad: Tuple[int, int],
+    *,
+    bias: Optional[jax.Array] = None,
+    dilation: int = 1,
+    stride: int = 1,
+    groups: int = 1,
+    fold_out: int = 1,
+    lhs_dilation: int = 1,
+    out_dtype=None,
+) -> jax.Array:
+    """Quantized drop-in for the decoder's conv_general_dilated calls.
+
+    x: [B, T, Ci] float; kernel: [k, Ci/groups, Co] float (already
+    weight-norm-materialized / folded). Returns float [B, T', Co] identical
+    in shape to the bf16 path. `fold_out` tiles the bias like
+    folded_conv_apply does for time-folded outputs.
+    """
+    out_dtype = out_dtype or x.dtype
+    wq, w_scale = quantize_weight_per_channel(kernel)
+    xq, a_scale = quantize_act_per_row(x)
+    y = jax.lax.conv_general_dilated(
+        xq, wq,
+        window_strides=(stride,), padding=[tuple(pad)],
+        rhs_dilation=(dilation,), lhs_dilation=(lhs_dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    yf = y.astype(jnp.float32) * (a_scale * w_scale)
+    if bias is not None:
+        b = bias.astype(jnp.float32)
+        if fold_out > 1:
+            b = jnp.tile(b, fold_out)
+        yf = yf + b
+    return yf.astype(out_dtype)
