@@ -90,11 +90,11 @@ def main() -> None:
 
     base = Config()
     variants = [
-        ("baseline", {}),
+        ("baseline", {"disc_grouped_pack": False}),
+        ("grouped_pack", {}),  # the r4 default (ops/grouped_conv.py)
+        ("pack+im2col", {"disc_im2col": True}),
         ("remat_dots", {"remat_policy": "dots"}),
-        ("remat_nothing", {"remat_policy": "nothing"}),
-        ("disc_im2col", {"disc_im2col": True}),
-        ("dots+im2col", {"remat_policy": "dots", "disc_im2col": True}),
+        ("disc_im2col", {"disc_im2col": True, "disc_grouped_pack": False}),
     ]
     rng = np.random.default_rng(7)
     results = {}

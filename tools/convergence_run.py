@@ -1,17 +1,25 @@
 #!/usr/bin/env python
-"""Long-horizon convergence run on a rich synthetic corpus (VERDICT r2 #2).
+"""Long-horizon convergence run on a rich synthetic corpus.
 
 20k+ steps of the full GAN system at the production 48k config (bf16,
 reference-exact D recompute), on the richest corpus this environment can
 generate: multi-speaker speech-like signals with per-speaker formant
 sets and F0 ranges, phrase-level F0 declination + random-walk + vibrato
 contours, syllabic amplitude envelopes, unvoiced fricative-like noise
-bursts, and silences. Logs mel/KL/fm/D-balance trajectories to plateau,
-exercises checkpoint-resume MID-RUN (a second Trainer process picks up
-from the latest checkpoint), and finishes with the shape-tolerant
-restore on a grown n_speakers (vcvits.py:265-282 semantics).
+bursts, per-clip noise-floor diversity, and silences. Logs mel/KL/fm/
+D-balance trajectories to plateau, exercises checkpoint-resume MID-RUN
+(a second Trainer process picks up from the latest checkpoint), and
+finishes with the shape-tolerant restore on a grown n_speakers
+(vcvits.py:265-282 semantics).
 
-  python tools/convergence_run.py --steps 20000 --out reports/convergence_r3.json
+Round-4 additions (VERDICT r3 #5): a held-out validation clip per
+speaker is evaluated every --eval-interval steps and the objective
+metrics (val/mcd_db, val/f0_rmse_cents, val/voicing_f1 — eval.py) are
+logged INTO the trajectory, the corpus defaults grew to 32 speakers
+with per-clip SNR diversity, and host RSS is tracked throughout (the
+r3 run's residual ~0.6 MB/step growth — reports/host_leak_r4.json).
+
+  python tools/convergence_run.py --steps 20000 --out reports/convergence_r4.json
 """
 
 from __future__ import annotations
@@ -126,15 +134,27 @@ def make_corpus(root: str, n_speakers: int, clips_per_speaker: int,
                     pieces.append(_syllable(crng, f0, dur, vowel))
                 tpos += dur
             y = np.concatenate(pieces)
-            write_wav(p, y, SR)
+            # per-clip noise floor: clean through ~20 dB SNR babble-ish hiss
+            snr_db = crng.uniform(18.0, 60.0)
+            noise = crng.standard_normal(len(y)).astype(np.float32)
+            rms_y = float(np.sqrt(np.mean(y ** 2)) + 1e-9)
+            noise *= rms_y / 10 ** (snr_db / 20.0)
+            write_wav(p, np.clip(y + noise, -1.0, 1.0), SR)
+    # hold out the last clip of each speaker for validation (objective
+    # metrics every eval_interval — VERDICT r3 #5)
+    val_lines = [ln for ln in lines if ln.split("|")[0].endswith("_0.wav")]
+    train_lines = [ln for ln in lines if ln not in set(val_lines)]
     fl = os.path.join(root, "train.txt")
     with open(fl, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    return fl
+        f.write("\n".join(train_lines) + "\n")
+    vfl = os.path.join(root, "val.txt")
+    with open(vfl, "w") as f:
+        f.write("\n".join(val_lines) + "\n")
+    return fl, vfl
 
 
 def build_cfg(fl: str, root: str, n_speakers: int, batch: int,
-              ckpt_interval: int):
+              ckpt_interval: int, vfl: str = "", eval_interval: int = 10 ** 9):
     from vcvits_tpu.config import Config
 
     cfg = Config()
@@ -142,10 +162,10 @@ def build_cfg(fl: str, root: str, n_speakers: int, batch: int,
         cfg,
         train=dataclasses.replace(
             cfg.train, batch_size=batch, log_interval=100,
-            eval_interval=10 ** 9, checkpoint_interval=ckpt_interval,
+            eval_interval=eval_interval, checkpoint_interval=ckpt_interval,
             max_epochs=10 ** 6),
         data=dataclasses.replace(
-            cfg.data, training_files=fl, validation_files="",
+            cfg.data, training_files=fl, validation_files=vfl,
             n_speakers=max(n_speakers, 8),
             cache_dir=os.path.join(root, "cache")),
     )
@@ -157,10 +177,14 @@ def run_phase(cfg, fl: str, workdir: str, max_steps: int):
     from vcvits_tpu.train.trainer import Trainer
 
     log = []
+    val_log = []
     trainer = Trainer(cfg, workdir=workdir, dtype=jnp.bfloat16)
     orig = trainer.tb.summarize
 
     def spy(step, scalars=None, **kw):
+        if scalars and "val/mcd_db" in scalars:
+            val_log.append({"step": step, "host_rss_mb": _rss_mb(),
+                            **{k: float(v) for k, v in scalars.items()}})
         if scalars and "loss/g/mel" in scalars:
             log.append({
                 "step": step,
@@ -183,42 +207,46 @@ def run_phase(cfg, fl: str, workdir: str, max_steps: int):
 
     trainer.tb.summarize = spy
     trainer.fit(train_files=fl, max_steps=max_steps)
-    return log
+    return log, val_log
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--speakers", type=int, default=8)
-    ap.add_argument("--clips", type=int, default=12)
-    ap.add_argument("--root", default="/tmp/conv_r3")
-    ap.add_argument("--out", default="reports/convergence_r3.json")
-    ap.add_argument("--tb-out", default="reports/convergence_r3_tb")
+    ap.add_argument("--speakers", type=int, default=32)
+    ap.add_argument("--clips", type=int, default=8)
+    ap.add_argument("--eval-interval", type=int, default=500)
+    ap.add_argument("--root", default="/tmp/conv_r4")
+    ap.add_argument("--out", default="reports/convergence_r4.json")
+    ap.add_argument("--tb-out", default="reports/convergence_r4_tb")
     args = ap.parse_args()
 
     t0 = time.time()
     corpus_root = os.path.join(args.root, "corpus")
-    fl = make_corpus(corpus_root, args.speakers, args.clips)
+    fl, vfl = make_corpus(corpus_root, args.speakers, args.clips)
     n_clips = sum(1 for _ in open(fl))
-    print(f"corpus: {n_clips} clips, {args.speakers} speakers", flush=True)
+    print(f"corpus: {n_clips} train clips (+{args.speakers} val), "
+          f"{args.speakers} speakers", flush=True)
 
     workdir = os.path.join(args.root, "logs")
     cfg = build_cfg(fl, args.root, args.speakers, args.batch,
-                    ckpt_interval=2000)
+                    ckpt_interval=2000, vfl=vfl,
+                    eval_interval=args.eval_interval)
 
     # Phase 1: first half. Phase 2: a FRESH Trainer auto-resumes from the
     # latest checkpoint (the crash-and-resume contract, §5.3) and runs to
     # the full step count.
     half = args.steps // 2
-    log1 = run_phase(cfg, fl, workdir, half)
+    log1, vlog1 = run_phase(cfg, fl, workdir, half)
     print(f"phase 1 done at ~{half} steps ({len(log1)} log points)", flush=True)
-    log2 = run_phase(cfg, fl, workdir, args.steps)
+    log2, vlog2 = run_phase(cfg, fl, workdir, args.steps)
     resume_start = log2[0]["step"] if log2 else None
     print(f"phase 2 resumed (first logged step {resume_start}) "
           f"-> {args.steps}", flush=True)
 
     traj = log1 + log2
+    val_traj = vlog1 + vlog2
     mels = [p["mel"] for p in traj]
     d_tot = [p["d_total"] for p in traj]
 
@@ -241,7 +269,7 @@ def main() -> None:
     # tolerant restore resets the optimizer AND the step counter
     # (vcvits.py:265-282 fine-tune semantics), so this phase runs 300
     # fresh steps on the restored weights with the grown speaker table
-    log3 = run_phase(cfg_grown, fl, grow_dir, 300)
+    log3, _ = run_phase(cfg_grown, fl, grow_dir, 300)
     grown_ok = bool(log3) and all(np.isfinite(p["g_total"]) for p in log3)
     print(f"grown-speaker tolerant restore: {len(log3)} points, "
           f"finite={grown_ok}", flush=True)
@@ -258,6 +286,7 @@ def main() -> None:
         "bf16": True,
         "d_recompute_forward": True,
         "trajectory": traj,
+        "val_trajectory": val_traj,
         "resume": {"phase1_end": half, "phase2_first_logged": resume_start},
         "grown_speakers": {"n_speakers": 32, "steps": 300,
                            "finite": grown_ok,
@@ -265,6 +294,21 @@ def main() -> None:
         "mel_early_mean": float(np.mean(early)) if early else None,
         "mel_late_mean": float(np.mean(late)) if late else None,
         "mel_min": float(np.min(mels)) if mels else None,
+        # objective-metric plateau stats (first vs last quarter of val evals)
+        "val_first_quarter": {
+            k: float(np.mean([p[k] for p in val_traj[: max(len(val_traj) // 4, 1)]
+                              if k in p]))
+            for k in ("val/mcd_db", "val/f0_rmse_cents", "val/voicing_f1")
+            if any(k in p for p in val_traj)
+        },
+        "val_last_quarter": {
+            k: float(np.mean([p[k] for p in val_traj[-max(len(val_traj) // 4, 1):]
+                              if k in p]))
+            for k in ("val/mcd_db", "val/f0_rmse_cents", "val/voicing_f1")
+            if any(k in p for p in val_traj)
+        },
+        "host_rss_first_mb": traj[0]["host_rss_mb"] if traj else None,
+        "host_rss_last_mb": traj[-1]["host_rss_mb"] if traj else None,
         "d_total_late_mean": float(np.mean(d_tot[-k:])) if d_tot else None,
         "all_finite": bool(np.isfinite(mels).all() and np.isfinite(d_tot).all()),
         "wall_s": round(time.time() - t0, 1),

@@ -20,7 +20,7 @@ import os
 import sys
 import tempfile
 import time
-from collections import defaultdict
+
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vcvits_tpu.utils.compile_cache import enable_persistent_cache
@@ -58,47 +58,14 @@ def capture(cfg, batch, steps, logdir):
 
 
 def analyze(logdir, steps, top_n=40):
-    """Reduce the captured xplane to op-category and top-op tables."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    """Reduce the captured xplane to op-category and top-op tables.
 
-    xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
-                        recursive=True)
-    if not xplanes:
-        raise RuntimeError(f"no xplane under {logdir}")
-    params = {"tqx": "out:csv;"}
-    csv_data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "hlo_stats", params)
-    if isinstance(csv_data, bytes):
-        csv_data = csv_data.decode()
-    import csv as _csv
-    import io
+    Direct XSpace-proto parse (tools/xplane_summary.py) — the
+    tensorboard_plugin_profile converter in this image is broken against
+    its own TF build."""
+    from tools.xplane_summary import analyze as xp_analyze
 
-    rows = list(_csv.DictReader(io.StringIO(csv_data)))
-    by_cat = defaultdict(float)
-    ops = []
-    total = 0.0
-    for r in rows:
-        # column names as emitted by the plugin's hlo_stats table
-        cat = (r.get("HLO op category") or r.get("category") or "?").strip()
-        t_us = float(r.get("Total time (us)") or r.get("total_time_us") or 0)
-        name = (r.get("HLO op expression") or r.get("HLO op name")
-                or r.get("program_id") or "?")
-        occ = r.get("#Occurrences") or r.get("occurrences") or ""
-        by_cat[cat] += t_us
-        total += t_us
-        ops.append((t_us, cat, occ, name.strip()[:200]))
-    ops.sort(reverse=True)
-    return {
-        "device_total_us_per_step": total / steps,
-        "by_category_us_per_step": {k: round(v / steps, 1)
-                                    for k, v in sorted(by_cat.items(),
-                                                       key=lambda kv: -kv[1])},
-        "top_ops": [
-            {"us_per_step": round(t / steps, 1), "category": c,
-             "occurrences": o, "op": n}
-            for t, c, o, n in ops[:top_n]
-        ],
-    }
+    return xp_analyze(logdir, steps, top_n=top_n)
 
 
 def main() -> None:

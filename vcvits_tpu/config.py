@@ -88,6 +88,14 @@ class TrainConfig:
     # matmuls (exact; layers.Conv1d.im2col). Default measured in
     # tools/bench_train_opts.py.
     disc_im2col: bool = False
+    # Phase-packed grouped convs in the MSD heads (ops/grouped_conv.py):
+    # pack P output positions x out/groups channels onto the MXU lane axis.
+    # Exact (tests/test_grouped_conv.py) but measured SLOWER end-to-end at
+    # B=16 (182.8 vs 168.2 ms/step, reports/train_opts_r4.json) — XLA's
+    # native grouped-conv lowering on this chip beats the extra
+    # reshape/transpose traffic the packing needs. Kept off; available for
+    # future chips where tiny-group convs lower worse.
+    disc_grouped_pack: bool = False
     # Device-resident dataset cache (data/device_cache.py): upload the
     # corpus to HBM once and assemble batches with a jitted gather, so the
     # per-step host->device traffic is an index vector instead of audio.

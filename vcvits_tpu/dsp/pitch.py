@@ -133,8 +133,16 @@ def pyin(
     below = trough_vals[:, :, None] < thresholds[None, None, 1:]  # [T, P, K]
     ranks = np.cumsum(below, axis=1) - 1
     counts = below.sum(axis=1, keepdims=True)  # troughs below each threshold
-    with np.errstate(divide="ignore", invalid="ignore"):
-        prior = _stats.boltzmann.pmf(ranks, boltzmann_parameter, np.maximum(counts, 1))
+    # Boltzmann pmf in closed form: pmf(k; lam, N) =
+    # (1-e^-lam) e^(-lam k) / (1-e^-lam N). scipy.stats.boltzmann.pmf's
+    # argument validation dominated the whole pyin call (~45% profiled);
+    # ranks/counts are small ints, so evaluate via lookup tables instead.
+    n_cand = ranks.shape[1]
+    lam = boltzmann_parameter
+    decay = np.exp(-lam * np.arange(n_cand + 1))  # e^(-lam k)
+    denom = 1.0 - np.exp(-lam * np.maximum(np.arange(n_cand + 1), 1))
+    prior = (1.0 - np.exp(-lam)) * decay[np.where(below, ranks, 0)] \
+        / denom[np.minimum(counts, n_cand)]
     prior = np.where(below, prior, 0.0)
     probs = prior @ beta_probs  # [T, P]
 

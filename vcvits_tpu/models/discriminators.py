@@ -99,6 +99,11 @@ class DiscriminatorS(nn.Module):
     # (1/128-lane input side otherwise; exact — layers.Conv1d.im2col).
     # Measured A/B in tools/bench_train_opts.py before flipping defaults.
     im2col_first: bool = False
+    # phase-packed grouped convs (ops/grouped_conv.py): packs P outputs x
+    # out/groups channels onto the lane axis so the 41-tap groups=4..256
+    # layers' tiny per-group matmuls fill the MXU. Exact, but measured
+    # SLOWER end-to-end at B=16 (reports/train_opts_r4.json) — default off.
+    grouped_pack: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -119,6 +124,7 @@ class DiscriminatorS(nn.Module):
             x = Conv1d(f, k, stride=s, groups=g, padding=(p, p), weight_norm=wn,
                        spectral_norm=sn, dtype=self.dtype,
                        im2col=(i == 0 and self.im2col_first),
+                       grouped_pack=self.grouped_pack,
                        name=f"conv_{i}")(x)
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
@@ -149,6 +155,7 @@ class MultiPeriodDiscriminator(nn.Module):
     # MXU better than two small passes).
     batch_pair: bool = True
     im2col_first: bool = False  # see DiscriminatorS.im2col_first
+    grouped_pack: bool = False  # see DiscriminatorS.grouped_pack
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -156,6 +163,7 @@ class MultiPeriodDiscriminator(nn.Module):
         logits_r, logits_g, fmaps_r, fmaps_g = [], [], [], []
         heads = [DiscriminatorS(use_spectral_norm=self.use_spectral_norm,
                                 im2col_first=self.im2col_first,
+                                grouped_pack=self.grouped_pack,
                                 dtype=self.dtype, name="disc_s")]
         heads += [
             DiscriminatorP(p, use_spectral_norm=self.use_spectral_norm,
@@ -242,6 +250,7 @@ class MultiScaleDiscriminator(nn.Module):
     use_spectral_norm: bool = False  # applies to the first (full-rate) head only
     batch_pair: bool = True  # see MultiPeriodDiscriminator.batch_pair
     im2col_first: bool = False  # see DiscriminatorS.im2col_first
+    grouped_pack: bool = False  # see DiscriminatorS.grouped_pack
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -259,6 +268,7 @@ class MultiScaleDiscriminator(nn.Module):
             head = DiscriminatorS(
                 use_spectral_norm=self.use_spectral_norm and i == 0,
                 im2col_first=self.im2col_first,
+                grouped_pack=self.grouped_pack,
                 dtype=self.dtype, name=f"disc_{i}")
             if self.batch_pair:
                 l, f = head(x)

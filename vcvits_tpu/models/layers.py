@@ -132,6 +132,13 @@ class Conv1d(nn.Module):
     # params, same taps in the same order. Ignored unless in_ch == 1,
     # groups == 1, fold == 1.
     im2col: bool = False
+    # grouped_pack: phase-packed grouped conv (ops/grouped_conv.py) — packs
+    # P output positions x out/groups channels onto the 128-lane axis so
+    # the MSD's tiny per-group matmuls fill the MXU (~8% -> ~43% lane
+    # ceiling). Exact (tests/test_grouped_conv.py) but measured slower
+    # end-to-end on this chip (reports/train_opts_r4.json), so default
+    # off. Used when groups > 1, dilation 1, out/groups <= 32.
+    grouped_pack: bool = False
     # quant_int8: dynamic W8A8 int8 conv (ops/int8_conv.py) — int8 MXU
     # passes at ~2x the bf16 rate, per-output-channel weight scales +
     # per-row activation scales, int32 accumulation. Inference only
@@ -239,6 +246,21 @@ class Conv1d(nn.Module):
             return int8_conv1d(x.astype(self.dtype), kernel, pad[0], bias=b,
                                dilation=self.dilation, stride=self.stride,
                                groups=self.groups, out_dtype=self.dtype)
+
+        if self.grouped_pack:
+            from vcvits_tpu.ops.grouped_conv import (
+                grouped_conv1d_packed, use_packed)
+            if use_packed(self.groups, self.features, self.stride,
+                          self.dilation):
+                y = grouped_conv1d_packed(
+                    x.astype(self.dtype), kernel, stride=self.stride,
+                    padding=pad[0], groups=self.groups,
+                    precision=conv_precision(self.dtype))
+                if self.use_bias:
+                    b = self.param("bias", self.bias_init, (self.features,),
+                                   jnp.float32)
+                    y = y + b.astype(self.dtype)
+                return y
 
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),

@@ -49,9 +49,11 @@ def build_models(cfg: Config, dtype=jnp.float32, hubert_cfg=None):
         gen = gen.clone(hubert_cfg=hubert_cfg)
     mpd = MultiPeriodDiscriminator(
         periods=cfg.model.multi_period_discriminator_periods,
-        im2col_first=cfg.train.disc_im2col, dtype=dtype
+        im2col_first=cfg.train.disc_im2col,
+        grouped_pack=cfg.train.disc_grouped_pack, dtype=dtype
     )
     msd = MultiScaleDiscriminator(im2col_first=cfg.train.disc_im2col,
+                                  grouped_pack=cfg.train.disc_grouped_pack,
                                   dtype=dtype)
     return gen, mpd, msd
 
