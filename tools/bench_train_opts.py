@@ -90,11 +90,11 @@ def main() -> None:
 
     base = Config()
     variants = [
-        ("baseline", {"disc_grouped_pack": False}),
-        ("grouped_pack", {}),  # the r4 default (ops/grouped_conv.py)
-        ("pack+im2col", {"disc_im2col": True}),
-        ("remat_dots", {"remat_policy": "dots"}),
-        ("disc_im2col", {"disc_im2col": True, "disc_grouped_pack": False}),
+        ("baseline", {}),
+        ("time_fold", {"disc_time_fold": True}),
+        ("time_fold+im2col", {"disc_time_fold": True, "disc_im2col": True}),
+        ("grouped_pack", {"disc_grouped_pack": True}),
+        ("disc_im2col", {"disc_im2col": True}),
     ]
     rng = np.random.default_rng(7)
     results = {}

@@ -96,6 +96,12 @@ class TrainConfig:
     # reshape/transpose traffic the packing needs. Kept off; available for
     # future chips where tiny-group convs lower worse.
     disc_grouped_pack: bool = False
+    # Time-fold (space-to-batch) the MSD grouped convs: split time into
+    # overlapping chunks folded into batch so the TPU emitters' batch-in-
+    # lanes layout fills all 128 lanes (ops/grouped_conv.py:
+    # time_batch_conv1d). Exact; measured A/B at B=16 in
+    # tools/bench_train_opts.py.
+    disc_time_fold: bool = False
     # Device-resident dataset cache (data/device_cache.py): upload the
     # corpus to HBM once and assemble batches with a jitted gather, so the
     # per-step host->device traffic is an index vector instead of audio.

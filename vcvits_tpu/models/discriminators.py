@@ -104,6 +104,11 @@ class DiscriminatorS(nn.Module):
     # layers' tiny per-group matmuls fill the MXU. Exact, but measured
     # SLOWER end-to-end at B=16 (reports/train_opts_r4.json) — default off.
     grouped_pack: bool = False
+    # time-fold the grouped convs into the batch axis (layers.Conv1d
+    # time_fold / ops/grouped_conv.py:time_batch_conv1d) — fills the
+    # 128-lane batch axis the TPU grouped-conv emitters use. Exact;
+    # A/B'd at B=16 in tools/bench_train_opts.py.
+    time_fold: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -125,6 +130,7 @@ class DiscriminatorS(nn.Module):
                        spectral_norm=sn, dtype=self.dtype,
                        im2col=(i == 0 and self.im2col_first),
                        grouped_pack=self.grouped_pack,
+                       time_fold=self.time_fold,
                        name=f"conv_{i}")(x)
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
@@ -156,6 +162,7 @@ class MultiPeriodDiscriminator(nn.Module):
     batch_pair: bool = True
     im2col_first: bool = False  # see DiscriminatorS.im2col_first
     grouped_pack: bool = False  # see DiscriminatorS.grouped_pack
+    time_fold: bool = False  # see DiscriminatorS.time_fold
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -164,6 +171,7 @@ class MultiPeriodDiscriminator(nn.Module):
         heads = [DiscriminatorS(use_spectral_norm=self.use_spectral_norm,
                                 im2col_first=self.im2col_first,
                                 grouped_pack=self.grouped_pack,
+                                time_fold=self.time_fold,
                                 dtype=self.dtype, name="disc_s")]
         heads += [
             DiscriminatorP(p, use_spectral_norm=self.use_spectral_norm,
@@ -251,6 +259,7 @@ class MultiScaleDiscriminator(nn.Module):
     batch_pair: bool = True  # see MultiPeriodDiscriminator.batch_pair
     im2col_first: bool = False  # see DiscriminatorS.im2col_first
     grouped_pack: bool = False  # see DiscriminatorS.grouped_pack
+    time_fold: bool = False  # see DiscriminatorS.time_fold
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -269,6 +278,7 @@ class MultiScaleDiscriminator(nn.Module):
                 use_spectral_norm=self.use_spectral_norm and i == 0,
                 im2col_first=self.im2col_first,
                 grouped_pack=self.grouped_pack,
+                time_fold=self.time_fold,
                 dtype=self.dtype, name=f"disc_{i}")
             if self.batch_pair:
                 l, f = head(x)

@@ -139,6 +139,13 @@ class Conv1d(nn.Module):
     # end-to-end on this chip (reports/train_opts_r4.json), so default
     # off. Used when groups > 1, dilation 1, out/groups <= 32.
     grouped_pack: bool = False
+    # time_fold: split time into overlapping chunks folded into the batch
+    # axis (ops/grouped_conv.py:time_batch_conv1d). The TPU grouped-conv
+    # emitters put batch in the 128-lane axis, so the MSD's batch-32
+    # passes run at ~25% lane occupancy; folding time to batch 128 fills
+    # the lanes on the NATIVE conv path (plain autodiff, exact). Applied
+    # when groups > 1, dilation == 1 and pick_time_chunks finds a fold.
+    time_fold: bool = False
     # quant_int8: dynamic W8A8 int8 conv (ops/int8_conv.py) — int8 MXU
     # passes at ~2x the bf16 rate, per-output-channel weight scales +
     # per-row activation scales, int32 accumulation. Inference only
@@ -246,6 +253,23 @@ class Conv1d(nn.Module):
             return int8_conv1d(x.astype(self.dtype), kernel, pad[0], bias=b,
                                dilation=self.dilation, stride=self.stride,
                                groups=self.groups, out_dtype=self.dtype)
+
+        if self.time_fold and self.groups > 1 and self.dilation == 1:
+            from vcvits_tpu.ops.grouped_conv import (
+                pick_time_chunks, time_batch_conv1d)
+            lo, hi = pad[0]
+            t_out = (x.shape[1] + lo + hi - self.kernel_size) // self.stride + 1
+            chunks = pick_time_chunks(x.shape[0], t_out)
+            if chunks > 1:
+                y = time_batch_conv1d(
+                    x.astype(self.dtype), kernel, stride=self.stride,
+                    padding=pad[0], groups=self.groups, chunks=chunks,
+                    precision=conv_precision(self.dtype))
+                if self.use_bias:
+                    b = self.param("bias", self.bias_init, (self.features,),
+                                   jnp.float32)
+                    y = y + b.astype(self.dtype)
+                return y
 
         if self.grouped_pack:
             from vcvits_tpu.ops.grouped_conv import (

@@ -53,6 +53,66 @@ def use_packed(groups: int, features: int, stride: int, dilation: int) -> bool:
             and 128 % cog == 0)
 
 
+def pick_time_chunks(batch: int, t_out: int, *, lane_target: int = 128,
+                     min_chunk_out: int = 64) -> int:
+    """Chunk count for time_batch_conv1d: fill the 128-lane batch axis
+    (the slow TPU emitters put batch in lanes — profile_train_b16.json)
+    without shrinking per-chunk T below the tiling sweet spot."""
+    c = 1
+    while (batch * c * 2 <= lane_target and t_out % (c * 2) == 0
+           and t_out // (c * 2) >= min_chunk_out):
+        c *= 2
+    return c
+
+
+def time_batch_conv1d(
+    x: jax.Array,
+    kernel: jax.Array,
+    *,
+    stride: int = 1,
+    padding: Tuple[int, int] = (0, 0),
+    groups: int = 1,
+    chunks: int,
+    precision=None,
+) -> jax.Array:
+    """Exact grouped conv with time folded into batch (space-to-batch).
+
+    XLA's grouped-conv emitters on this chip put BATCH in the 128-lane
+    axis (`EmitInputFeaturePackedInputBatchInLanes` /
+    `EmitOutputBatchInLanesKernelOutputFeatureInSublanes`), so a batch-32
+    discriminator pass runs at ~25% lane occupancy. Splitting time into
+    `chunks` overlapping blocks (halo = the conv's receptive overlap)
+    multiplies the batch the emitter sees while staying on the native
+    conv path — ordinary autodiff gives exact dx/dw through the
+    slice/stack. Equivalent of lax.conv_general_dilated(..., NHC/HIO/NHC,
+    feature_group_count=groups) for dilation 1; requires T_out % chunks
+    == 0 (callers gate via pick_time_chunks).
+    """
+    b, t, c = x.shape
+    k, cg, f = kernel.shape
+    if chunks <= 1:
+        return jax.lax.conv_general_dilated(
+            x, kernel, (stride,), [padding],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=groups, precision=precision)
+    lo, hi = padding
+    t_out = (t + lo + hi - k) // stride + 1
+    assert t_out % chunks == 0, (t_out, chunks)
+    tc_out = t_out // chunks
+    span = (tc_out - 1) * stride + k
+    need = (t_out - 1) * stride + k  # padded length the chunks address
+    xp = jnp.pad(x, ((0, 0), (lo, max(0, need - (t + lo))), (0, 0)))
+    xs = jnp.stack(
+        [jax.lax.slice_in_dim(xp, i * tc_out * stride,
+                              i * tc_out * stride + span, axis=1)
+         for i in range(chunks)], axis=1)  # [B, NC, span, C]
+    y = jax.lax.conv_general_dilated(
+        xs.reshape(b * chunks, span, c), kernel, (stride,), [(0, 0)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups, precision=precision)
+    return y.reshape(b, chunks * tc_out, f)
+
+
 def grouped_conv1d_packed(
     x: jax.Array,
     kernel: jax.Array,

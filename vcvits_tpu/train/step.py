@@ -50,10 +50,12 @@ def build_models(cfg: Config, dtype=jnp.float32, hubert_cfg=None):
     mpd = MultiPeriodDiscriminator(
         periods=cfg.model.multi_period_discriminator_periods,
         im2col_first=cfg.train.disc_im2col,
-        grouped_pack=cfg.train.disc_grouped_pack, dtype=dtype
+        grouped_pack=cfg.train.disc_grouped_pack,
+        time_fold=cfg.train.disc_time_fold, dtype=dtype
     )
     msd = MultiScaleDiscriminator(im2col_first=cfg.train.disc_im2col,
                                   grouped_pack=cfg.train.disc_grouped_pack,
+                                  time_fold=cfg.train.disc_time_fold,
                                   dtype=dtype)
     return gen, mpd, msd
 
