@@ -262,6 +262,51 @@ def main() -> None:
     except Exception:
         pass
 
+    # ---- 5) dynamic W8A8 int8 decoder (VERDICT r3 #2): same checkpoint,
+    #         decoder convs quantize at call time (hifigan.py quant_int8).
+    #         Measure the sync-amortized single-utterance RTF and the
+    #         best-batch throughput deltas vs the bf16 decoder ------------
+    int8_detail = None
+    try:
+        model_q = model.clone(dec_quant_int8=True)
+        infer_q = jax.jit(lambda p, w, l, pi, s, k: (
+            lambda r: (r[0], jnp.mean(jnp.abs(r[0].astype(jnp.float32)))))(
+            model_q.apply(p, w, l, pi, s, rng=k, method=SynthesizerSVC.infer)))
+        _, dg = infer_q(params, wav0, x_lens1, pitch0, sid1, key)
+        float(dg)  # warm/compile
+        digests = []
+        t0 = time.perf_counter()
+        for (wav, pitch), k in zip(pipe_inputs, pipe_keys):
+            _, dg = infer_q(params, wav, x_lens1, pitch, sid1, k)
+            digests.append(dg)
+        for dg in digests:
+            float(dg)
+        t_pipe_q = (time.perf_counter() - t0) / k_pipe
+        int8_detail = {
+            "rtf_pipelined": round(audio_seconds / t_pipe_q, 1),
+            "speedup_vs_bf16_pipelined": round(t_pipe / t_pipe_q, 3),
+        }
+        if batched:
+            b = best_batch
+            wavb, pitchb = make_inputs(0, b)
+            lensb = jnp.full((b,), t_wav, jnp.int32)
+            sidb = jnp.arange(b, dtype=jnp.int32) % cfg.data.n_speakers
+            _, dg = infer_q(params, wavb, lensb, pitchb, sidb, key)
+            float(dg)
+            ts = []
+            for i in range(5):
+                k = jax.random.PRNGKey(300 + i)
+                t0 = time.perf_counter()
+                _, dg = infer_q(params, wavb, lensb, pitchb, sidb, k)
+                float(dg)
+                ts.append(time.perf_counter() - t0)
+            int8_detail["batch"] = b
+            int8_detail["batched_utt_per_s"] = round(b / float(np.median(ts)), 2)
+            int8_detail["speedup_vs_bf16_batched"] = round(
+                int8_detail["batched_utt_per_s"] / batched[b]["utt_per_s"], 3)
+    except Exception:
+        pass
+
     out = {
         "metric": "rtf_48k_any_to_any_conversion",
         "value": round(rtf, 1),
@@ -281,6 +326,9 @@ def main() -> None:
             # BASELINE config 1 (configs/base.json, hubert_xtralarge):
             # 10 s single-utterance conversion RTF, bf16
             "rtf_22k": rtf_22k,
+            # dynamic W8A8 int8 decoder (flag-gated, default off): the
+            # measured serving-path deltas vs the bf16 decoder
+            "int8_decoder_dynamic_w8a8": int8_detail,
             "decoder_fold_tail": True,
         },
     }

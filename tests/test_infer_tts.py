@@ -56,11 +56,18 @@ def tts_workdir(tmp_path_factory):
     return str(workdir)
 
 
-def test_from_checkpoint_and_synthesize(tts_workdir, tmp_path):
+@pytest.fixture(scope="module")
+def tts(tts_workdir):
+    """ONE restored synthesizer shared by the module: from_checkpoint costs
+    a restore + trace, and re-running it per test tripled this file's wall
+    time (VERDICT r3 #10 — the fast tier's largest line item)."""
     from vcvits_tpu.infer_tts import TTSSynthesizer
 
-    tts = TTSSynthesizer.from_checkpoint(tts_workdir, text_unit=16,
-                                         frames_per_token=4)
+    return TTSSynthesizer.from_checkpoint(tts_workdir, text_unit=16,
+                                          frames_per_token=4)
+
+
+def test_from_checkpoint_and_synthesize(tts, tmp_path):
     assert tts.cfg.model.hidden_channels == 16  # config.json was picked up
     wav = tts.synthesize("hello world", sid=1, seed=3)
     assert wav.dtype == np.float32 and wav.ndim == 1
@@ -75,12 +82,8 @@ def test_from_checkpoint_and_synthesize(tts_workdir, tmp_path):
     assert sr == tts.cfg.data.target_sampling_rate and len(data) > 0
 
 
-def test_text_bucketing_bounds_program_count(tts_workdir):
+def test_text_bucketing_bounds_program_count(tts):
     """Same-bucket texts must reuse one compiled program (static shapes)."""
-    from vcvits_tpu.infer_tts import TTSSynthesizer
-
-    tts = TTSSynthesizer.from_checkpoint(tts_workdir, text_unit=16,
-                                         frames_per_token=4)
     sizes = set()
     for text in ("abc", "abcd efg", "hi"):
         seq = tts.encode_text(text)
@@ -92,9 +95,6 @@ def test_text_bucketing_bounds_program_count(tts_workdir):
     np.testing.assert_array_equal(w1, w2)  # deterministic per seed
 
 
-def test_empty_text_raises(tts_workdir):
-    from vcvits_tpu.infer_tts import TTSSynthesizer
-
-    tts = TTSSynthesizer.from_checkpoint(tts_workdir)
+def test_empty_text_raises(tts):
     with pytest.raises(ValueError):
         tts.encode_text("")  # cleans to nothing

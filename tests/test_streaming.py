@@ -76,6 +76,37 @@ def test_streaming_reset(converter):
     assert len(sc._buf) == 0 and sc._tail is None
 
 
+def test_streaming_subunit_right_context(converter):
+    """Low-latency operating point (docs/streaming.md, VERDICT r3 #6):
+    windowed mode accepts right context below the 0.16 s alignment unit —
+    ctx rounds to pitch-frame (hubert_downsample) granularity while the
+    TOTAL window stays unit-aligned — making chunk 0.16 s + ctx 0.08 s
+    = 240 ms algorithmic latency expressible."""
+    from vcvits_tpu.data.collate import alignment_unit
+
+    cfg = converter.cfg.data
+    unit = alignment_unit(cfg)
+    sc = StreamingConverter(converter, speaker_id=1, chunk_seconds=0.16,
+                            context_seconds=0.08, noise_scale=0.0)
+    assert sc.ctx == unit // 2  # 1280 @16k = 80 ms, below one unit
+    assert sc.ctx % cfg.hubert_downsample == 0
+    assert (sc.chunk + 2 * sc.ctx) % unit == 0
+
+    sr = cfg.source_sampling_rate
+    total = sr  # 1 s
+    t = np.arange(total) / sr
+    src = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    out = np.concatenate(list(sc.push(src)) + list(sc.flush()))
+    assert abs(len(out) - total * 3) <= sc.xfade + 3
+    assert np.isfinite(out).all()
+
+    # incremental (exact) mode still requires unit-aligned ctx: it slices
+    # the encoder output at ctx's spec-frame offset, which must be integral
+    sc2 = StreamingConverter(converter, speaker_id=1, chunk_seconds=0.32,
+                             context_seconds=0.08, incremental=True)
+    assert sc2.ctx == unit
+
+
 def test_convert_many_pipelined(converter, tmp_path):
     """convert_many double-buffers host prepare against device decode and
     produces the same audio as sequential convert() calls."""

@@ -85,9 +85,10 @@ class TrainConfig:
     # measured per-batch-size in tools/bench_train_opts.py; see ROADMAP.
     remat_policy: str = "none"
     # im2col the discriminators' in_channels=1 first convs into dense
-    # matmuls (exact; layers.Conv1d.im2col). Default measured in
-    # tools/bench_train_opts.py.
-    disc_im2col: bool = False
+    # matmuls (exact — tests/test_discriminators.py:128). Default ON: the
+    # only option in the r4 B=16 sweep that beat the baseline
+    # (reports/train_opts_r4.json: 164.7 vs 168.2 ms/step, +2.1%).
+    disc_im2col: bool = True
     # Phase-packed grouped convs in the MSD heads (ops/grouped_conv.py):
     # pack P output positions x out/groups channels onto the MXU lane axis.
     # Exact (tests/test_grouped_conv.py) but measured SLOWER end-to-end at

@@ -65,7 +65,22 @@ class StreamingConverter:
 
         unit = alignment_unit(cfg)
         self.chunk = max(unit, int(round(chunk_seconds * self.src_sr / unit)) * unit)
-        self.ctx = max(unit, int(round(context_seconds * self.src_sr / unit)) * unit)
+        if incremental:
+            # the incremental encoder slices m_p at ctx's frame offset, so
+            # ctx must be a whole number of spec frames -> unit-aligned
+            self.ctx = max(unit, int(round(context_seconds * self.src_sr / unit)) * unit)
+        else:
+            # windowed mode: the emit offset is sample-granular; only the
+            # TOTAL window (ctx+chunk+ctx) must stay unit-aligned and ctx
+            # must hold whole pitch frames (hubert_downsample). This makes
+            # sub-unit right context (the <300 ms low-latency operating
+            # points, docs/streaming.md) expressible: e.g. chunk 0.16 s +
+            # ctx 0.08 s = 240 ms algorithmic latency.
+            ds = cfg.hubert_downsample
+            ctx = max(ds, int(round(context_seconds * self.src_sr / ds)) * ds)
+            while (self.chunk + 2 * ctx) % unit:
+                ctx += ds
+            self.ctx = ctx
         self.xfade = int(crossfade_ms / 1000.0 * self.tgt_sr)
 
         self._buf = np.zeros(0, np.float32)

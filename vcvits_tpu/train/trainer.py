@@ -31,6 +31,12 @@ from vcvits_tpu.train.checkpoint import CheckpointManager
 from vcvits_tpu.train.state import create_train_state
 from vcvits_tpu.train.step import build_models, init_params, make_train_step
 from vcvits_tpu.utils.logging import TensorBoardLogger, mel_to_image
+from vcvits_tpu.utils.memory import trim_host_memory
+
+# steps between malloc_trim(0) calls in fit() — frequent enough to bound
+# arena growth (~0.6 MB/step raw in the r3 convergence run), rare enough
+# that the few-ms syscall cost is invisible
+_TRIM_INTERVAL = 200
 
 logger = logging.getLogger(__name__)
 
@@ -340,6 +346,10 @@ class Trainer:
                         self.validate(state, val_loader, step_no)
                     if step_no % cfg.train.checkpoint_interval == 0:
                         self.ckpt.save(step_no, state)
+                    if step_no % _TRIM_INTERVAL == 0:
+                        # return glibc arena growth from per-step d2h traffic
+                        # to the kernel (reports/host_leak_r4.json; ~ms cost)
+                        trim_host_memory(collect=False)
             if state is not None:
                 return self._finish(state, int(state.step))
             return state
