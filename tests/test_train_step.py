@@ -94,6 +94,33 @@ def test_lr_schedule_decays(cfg):
     assert lr2 == pytest.approx(2e-4 * 0.999875)
 
 
+def test_share_frozen_hubert_parity(cfg, batch):
+    """share_frozen_hubert computes the frozen backbone once and injects
+    the features into both generator forwards; it must be numerically
+    equivalent to the unshared step (same weights, dropout-free backbone,
+    train/state.py:60 optimizer mask)."""
+    import dataclasses
+
+    g_params, d_params = init_params(cfg, jax.random.PRNGKey(0), batch,
+                                     hubert_cfg=TINY_HUBERT)
+    metrics = []
+    for share in (True, False):
+        cfg2 = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           share_frozen_hubert=share))
+        state = create_train_state(cfg2, g_params, d_params)
+        step = jax.jit(make_train_step(cfg2, hubert_cfg=TINY_HUBERT))
+        state1, m1 = step(state, batch, jax.random.PRNGKey(1))
+        _, m2 = step(state1, batch, jax.random.PRNGKey(2))
+        metrics.append((m1, m2))
+    (a1, a2), (b1, b2) = metrics
+    for ka, kb in ((a1, b1), (a2, b2)):
+        for k in ka:
+            np.testing.assert_allclose(
+                np.asarray(ka[k]), np.asarray(kb[k]), rtol=2e-4, atol=2e-5,
+                err_msg=f"metric {k} diverged between shared/unshared hubert")
+
+
 @pytest.mark.slow
 def test_d_recompute_forward_variant(cfg, batch):
     """Reference-exact D-step semantics (vcvits.py:151-183): recompute the

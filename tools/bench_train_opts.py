@@ -83,6 +83,8 @@ def main() -> None:
     ap.add_argument("--batches", default="16,32")
     ap.add_argument("--secs", type=float, default=4.0)
     ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--variants", default="",
+                    help="comma-separated variant names to run (default all)")
     ap.add_argument("--out", default="reports/train_opts_r3.json")
     args = ap.parse_args()
 
@@ -95,7 +97,11 @@ def main() -> None:
         ("time_fold+im2col", {"disc_time_fold": True, "disc_im2col": True}),
         ("grouped_pack", {"disc_grouped_pack": True}),
         ("disc_im2col", {"disc_im2col": True}),
+        ("share_hubert_off", {"share_frozen_hubert": False}),
     ]
+    if args.variants:
+        keep = set(args.variants.split(","))
+        variants = [v for v in variants if v[0] in keep]
     rng = np.random.default_rng(7)
     results = {}
     for b in [int(x) for x in args.batches.split(",")]:

@@ -171,6 +171,25 @@ def build_cfg(fl: str, root: str, n_speakers: int, batch: int,
     )
 
 
+PARTIAL_OUT = [None]  # set by main(): progressive trajectory dump path
+_DONE_LOG: list = []      # completed phases' trajectory points
+_DONE_VAL: list = []      # completed phases' val points
+
+
+def _dump_partial(log, val_log):
+    """Write the in-flight trajectory so a preempted run still leaves
+    evidence (the full report is assembled only at the end)."""
+    if PARTIAL_OUT[0] is None:
+        return
+    try:
+        with open(PARTIAL_OUT[0], "w") as f:
+            json.dump({"partial": True,
+                       "trajectory": _DONE_LOG + log,
+                       "val_trajectory": _DONE_VAL + val_log}, f)
+    except OSError:
+        pass
+
+
 def run_phase(cfg, fl: str, workdir: str, max_steps: int):
     import jax.numpy as jnp
 
@@ -203,10 +222,13 @@ def run_phase(cfg, fl: str, workdir: str, max_steps: int):
                 # item 9) — flat = the device cache is doing its job
                 "host_rss_mb": _rss_mb(),
             })
+            _dump_partial(log, val_log)
         return orig(step, scalars=scalars, **kw)
 
     trainer.tb.summarize = spy
     trainer.fit(train_files=fl, max_steps=max_steps)
+    _DONE_LOG.extend(log)
+    _DONE_VAL.extend(val_log)
     return log, val_log
 
 
@@ -223,6 +245,7 @@ def main() -> None:
     args = ap.parse_args()
 
     t0 = time.time()
+    PARTIAL_OUT[0] = args.out + ".partial"
     corpus_root = os.path.join(args.root, "corpus")
     fl, vfl = make_corpus(corpus_root, args.speakers, args.clips)
     n_clips = sum(1 for _ in open(fl))

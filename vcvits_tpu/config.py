@@ -78,6 +78,15 @@ class TrainConfig:
     # healthier D loss) — so reference semantics are the default; set False
     # to save the extra generator forward per step.
     d_recompute_forward: bool = True
+    # Compute the frozen HuBERT backbone's features ONCE per step and inject
+    # them into both the G-step forward and the d_recompute_forward D-step
+    # forward. Bit-exact: the subtree is optimizer-masked (train/state.py:60)
+    # and dropout-free (models/hubert.py), so both forwards would see
+    # identical features anyway — this saves XLA from having to CSE two
+    # ~95M-param subgraphs across an optimizer update. Measured A/B in
+    # tools/bench_train_opts.py. No effect on the preload path (features
+    # already come from the dataset).
+    share_frozen_hubert: bool = True
     # Rematerialization policy for the train step's generator /
     # discriminator forwards: "none" (XLA decides what to keep), "dots"
     # (save only MXU matmul/conv results, recompute elementwise in the

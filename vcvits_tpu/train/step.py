@@ -31,7 +31,9 @@ import optax
 from vcvits_tpu.config import Config
 from vcvits_tpu.dsp.spectrogram import spec_to_mel, stft_magnitude
 from vcvits_tpu.models.discriminators import MultiPeriodDiscriminator, MultiScaleDiscriminator
-from vcvits_tpu.models.synthesizer import SynthesizerSVC
+from vcvits_tpu.models.content_encoder import HUBERT_PAD
+from vcvits_tpu.models.hubert import HubertModel
+from vcvits_tpu.models.synthesizer import SynthesizerSVC, hubert_config_for
 from vcvits_tpu.train.audio_pipeline import smooth_source
 from vcvits_tpu.train.losses import (
     discriminator_loss,
@@ -155,6 +157,20 @@ def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None,
         if hubert_features is None:
             x_wav = smooth_source(batch["x_wav"], d.filter_length, hop, d.win_length)
             x_wav = jax.lax.stop_gradient(x_wav)
+            if cfg.train.share_frozen_hubert:
+                # Run the frozen backbone once on the smoothed source and
+                # inject the features into both generator forwards below.
+                # Exact: the hubert subtree is masked out of the G optimizer
+                # (train/state.py:60-84) and HubertModel is dropout-free, so
+                # the d_recompute forward would recompute bit-identical
+                # features from identical weights.
+                hub_cfg = gen.hubert_cfg or hubert_config_for(gen.hubert_channels)
+                hub = HubertModel(hub_cfg, dtype=dtype)
+                wav16 = jnp.pad(x_wav.astype(dtype),
+                                ((0, 0), (HUBERT_PAD, HUBERT_PAD)))
+                hubert_features = jax.lax.stop_gradient(
+                    hub.apply({"params": state.g_params["enc_p"]["hubert"]},
+                              wav16))
         else:
             # preload path: features were dumped from the smoothed source
             # (data/preload.py), so the STFT->iSTFT pipeline AND the frozen
