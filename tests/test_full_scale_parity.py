@@ -99,3 +99,70 @@ def test_full_48k_conversion_parity():
     print(f"full-48k parity: wav max-abs {wav_max:.2e}, mel-L1 {mel_l1:.2e}")
     assert mel_l1 <= 1e-3, f"mel-L1 {mel_l1}"
     assert wav_max < 5e-3
+
+
+@pytest.mark.slow
+def test_hub_hifigan_standalone_conversion_parity():
+    """Standalone hub-vocoder conversion at full 48k decoder scale
+    (VERDICT r4 #7): the reference mounts torch.hub
+    vtuber-plan/hifi-gan:v0.3.1 `hifigan_48k` as its decoder
+    (synthesizer_svc.py:59). That checkpoint's state_dict layout is the
+    BARE generator — `conv_pre/ups.N/resblocks.N.convs1.T/conv_post`
+    weight-norm pairs, no `dec.` prefix and no speaker cond. This test
+    feeds a random torch generator in exactly that layout through
+    `convert_hifigan_generator` and asserts waveform parity of the full
+    512-channel [3,7,11]x[1,3,5] MRF stack, so the converter's name map is
+    exercised against the exact external layout before a real checkpoint
+    ever arrives."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.torch_ref import HiFiGANRef
+    from vcvits_tpu.convert.vcvits_torch import convert_hifigan_generator
+    from vcvits_tpu.models.hifigan import HiFiGANGenerator
+
+    m = CFG.model
+    torch.manual_seed(11)
+    ref = HiFiGANRef(
+        in_ch=m.inter_channels, up_init=m.upsample_initial_channel,
+        rates=m.upsample_rates, kernels=m.upsample_kernel_sizes,
+        rk=m.resblock_kernel_sizes, rd=m.resblock_dilation_sizes,
+    ).eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    # the hub layout: bare generator keys, no prefix
+    assert "conv_pre.weight_v" in sd and "ups.0.weight_g" in sd
+    assert f"resblocks.{len(m.resblock_kernel_sizes) * len(m.upsample_rates) - 1}.convs1.0.weight_v" in sd
+    dec_params = convert_hifigan_generator(sd, CFG)
+
+    t_lat = 100  # latent frames; output = 100 * 512 = 51200 samples @48k
+    g = np.random.default_rng(3)
+    x = g.standard_normal((1, t_lat, m.inter_channels)).astype(np.float32) * 0.3
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(np.swapaxes(x, 1, 2))).numpy()[0, 0]
+
+    dec = HiFiGANGenerator(
+        initial_channel=m.inter_channels,
+        resblock=m.resblock,
+        resblock_kernel_sizes=m.resblock_kernel_sizes,
+        resblock_dilation_sizes=m.resblock_dilation_sizes,
+        upsample_rates=m.upsample_rates,
+        upsample_initial_channel=m.upsample_initial_channel,
+        upsample_kernel_sizes=m.upsample_kernel_sizes,
+        gin_channels=m.gin_channels,
+    )
+    # converter installs a ZERO cond projection (the hub vocoder has
+    # none), so any speaker vector must leave the output unchanged
+    spk = jnp.asarray(g.standard_normal((1, m.gin_channels)).astype(np.float32))
+    got = np.asarray(dec.apply({"params": dec_params},
+                               jnp.asarray(x), spk))[0, :, 0]
+
+    assert got.shape == want.shape
+    wav_max = float(np.abs(got - want).max())
+    snr = 10 * np.log10(float(np.mean(want ** 2))
+                        / max(float(np.mean((got - want) ** 2)), 1e-30))
+    print(f"hub-layout 48k decoder parity: wav max-abs {wav_max:.2e}, "
+          f"SNR {snr:.1f} dB")
+    assert wav_max < 5e-4
+    assert snr > 60.0

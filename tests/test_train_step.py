@@ -94,6 +94,7 @@ def test_lr_schedule_decays(cfg):
     assert lr2 == pytest.approx(2e-4 * 0.999875)
 
 
+@pytest.mark.slow  # 136 s on the 1-core host — 30% of the whole fast tier
 def test_share_frozen_hubert_parity(cfg, batch):
     """share_frozen_hubert computes the frozen backbone once and injects
     the features into both generator forwards; it must be numerically

@@ -20,7 +20,7 @@ operating point the reference cannot express at all (its infer.py:86
 truncates long inputs instead of streaming).
 
 Run (TPU):  python tools/bench_streaming_latency.py
-Writes reports/streaming_latency_r4.json; table lives in docs/streaming.md.
+Writes reports/streaming_latency_r5.json; table lives in docs/streaming.md.
 """
 
 from __future__ import annotations
@@ -65,7 +65,7 @@ def speech_like(secs: float, sr: int, seed: int = 0) -> np.ndarray:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--secs", type=float, default=8.0)
-    ap.add_argument("--out", default="reports/streaming_latency_r4.json")
+    ap.add_argument("--out", default="reports/streaming_latency_r5.json")
     args = ap.parse_args()
 
     import jax

@@ -71,11 +71,11 @@ def time_variant(name, cfg, batch, steps, reps=3):
         print(f"  {name}: {ms:.1f} ms/step "
               f"({1e3 / ms:.2f} steps/s)", flush=True)
         del state
-        return ms
+        return ms, None
     except Exception as e:  # OOM etc.
-        print(f"  {name}: FAILED ({type(e).__name__}: {str(e)[:120]})",
-              flush=True)
-        return None
+        err = f"{type(e).__name__}: {str(e)[:200]}"
+        print(f"  {name}: FAILED ({err[:140]})", flush=True)
+        return None, err
 
 
 def main() -> None:
@@ -85,18 +85,20 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--variants", default="",
                     help="comma-separated variant names to run (default all)")
-    ap.add_argument("--out", default="reports/train_opts_r3.json")
+    ap.add_argument("--out", default="reports/train_opts_r5.json")
     args = ap.parse_args()
 
     from vcvits_tpu.config import Config
 
     base = Config()
+    # Variants are RELATIVE TO CURRENT DEFAULTS (r5: disc_im2col=True,
+    # share_frozen_hubert=True) — "baseline" is what training ships with.
     variants = [
         ("baseline", {}),
-        ("time_fold", {"disc_time_fold": True}),
-        ("time_fold+im2col", {"disc_time_fold": True, "disc_im2col": True}),
-        ("grouped_pack", {"disc_grouped_pack": True}),
-        ("disc_im2col", {"disc_im2col": True}),
+        ("im2col_off", {"disc_im2col": False}),
+        ("time_fold", {"disc_time_fold": True}),  # on top of default im2col
+        ("time_fold_only", {"disc_time_fold": True, "disc_im2col": False}),
+        ("grouped_pack", {"disc_grouped_pack": True, "disc_im2col": False}),
         ("share_hubert_off", {"share_frozen_hubert": False}),
     ]
     if args.variants:
@@ -113,7 +115,9 @@ def main() -> None:
         for name, overrides in variants:
             cfgv = dataclasses.replace(
                 cfgb, train=dataclasses.replace(cfgb.train, **overrides))
-            res[name] = time_variant(name, cfgv, batch, args.steps)
+            res[name], err = time_variant(name, cfgv, batch, args.steps)
+            if err is not None:
+                res[name + "_error"] = err
         results[b] = res
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)

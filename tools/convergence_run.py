@@ -339,6 +339,11 @@ def main() -> None:
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
+    # drop the progressive dump now that the final report exists (a stale
+    # "partial": true file alongside it reads as a preempted run)
+    if PARTIAL_OUT[0] and os.path.exists(PARTIAL_OUT[0]):
+        os.remove(PARTIAL_OUT[0])
+    PARTIAL_OUT[0] = None
     # TB evidence (scalars only — no audio/eval in this run): copy event
     # files next to the report
     shutil.rmtree(args.tb_out, ignore_errors=True)

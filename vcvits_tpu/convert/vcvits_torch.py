@@ -201,37 +201,51 @@ def convert_generator(
         g["emb_g"] = {"embedding": sd["emb_g.weight"].astype(np.float32)}
 
     # --- decoder (HiFi-GAN; hub vocoder names: conv_pre/ups/resblocks/conv_post) ---
-    dec: Dict = {}
     if "dec.conv_pre.weight_v" in sd or "dec.conv_pre.weight" in sd:
-        dec["conv_pre"] = _wn_conv1d(sd, "dec.conv_pre")
-        num_kernels = len(m.resblock_kernel_sizes)
-        for i in range(len(m.upsample_rates)):
-            dec[f"up_{i}"] = _wn_conv_transpose1d(sd, f"dec.ups.{i}")
-            for j in range(num_kernels):
-                rb = f"dec.resblocks.{i * num_kernels + j}"
-                blk: Dict = {}
-                if m.resblock == "1":
-                    for t in range(len(m.resblock_dilation_sizes[j])):
-                        blk[f"c1_{t}"] = _wn_conv1d(sd, f"{rb}.convs1.{t}")
-                        blk[f"c2_{t}"] = _wn_conv1d(sd, f"{rb}.convs2.{t}")
-                else:
-                    for t in range(len(m.resblock_dilation_sizes[j])):
-                        blk[f"c_{t}"] = _wn_conv1d(sd, f"{rb}.convs.{t}")
-                dec[f"res_{i}_{j}"] = blk
-        dec["conv_post"] = _wn_conv1d(sd, "dec.conv_post")
-        if "dec.cond.weight" in sd:
-            dec["cond"] = _dense_from_1x1(sd, "dec.cond")
-        elif m.gin_channels > 0:
-            # The hub vocoder is NOT speaker-conditioned (SURVEY.md §3.4);
-            # our decoder is. A zero cond projection reproduces the hub
-            # behavior exactly while keeping the capability trainable.
-            dec["cond"] = {
-                "kernel": np.zeros((m.gin_channels, m.upsample_initial_channel), np.float32),
-                "bias": np.zeros((m.upsample_initial_channel,), np.float32),
-            }
-        g["dec"] = dec
+        g["dec"] = convert_hifigan_generator(sd, cfg, prefix="dec.")
 
     return g
+
+
+def convert_hifigan_generator(sd: SD, cfg: Config, prefix: str = "") -> Dict:
+    """HiFi-GAN generator state_dict -> flax `dec` params.
+
+    ``prefix="dec."`` converts the decoder subtree of a full VCVITS
+    checkpoint; ``prefix=""`` (default) converts a STANDALONE torch.hub
+    vocoder checkpoint — the vtuber-plan/hifi-gan:v0.3.1 ``hifigan_48k``
+    layout (``conv_pre/ups.N/resblocks.N.convs1.T/conv_post`` with
+    weight-norm ``weight_g``/``weight_v`` pairs) that the reference mounts
+    as its decoder at synthesizer_svc.py:59."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    m = cfg.model
+    dec: Dict = {}
+    dec["conv_pre"] = _wn_conv1d(sd, f"{prefix}conv_pre")
+    num_kernels = len(m.resblock_kernel_sizes)
+    for i in range(len(m.upsample_rates)):
+        dec[f"up_{i}"] = _wn_conv_transpose1d(sd, f"{prefix}ups.{i}")
+        for j in range(num_kernels):
+            rb = f"{prefix}resblocks.{i * num_kernels + j}"
+            blk: Dict = {}
+            if m.resblock == "1":
+                for t in range(len(m.resblock_dilation_sizes[j])):
+                    blk[f"c1_{t}"] = _wn_conv1d(sd, f"{rb}.convs1.{t}")
+                    blk[f"c2_{t}"] = _wn_conv1d(sd, f"{rb}.convs2.{t}")
+            else:
+                for t in range(len(m.resblock_dilation_sizes[j])):
+                    blk[f"c_{t}"] = _wn_conv1d(sd, f"{rb}.convs.{t}")
+            dec[f"res_{i}_{j}"] = blk
+    dec["conv_post"] = _wn_conv1d(sd, f"{prefix}conv_post")
+    if f"{prefix}cond.weight" in sd:
+        dec["cond"] = _dense_from_1x1(sd, f"{prefix}cond")
+    elif m.gin_channels > 0:
+        # The hub vocoder is NOT speaker-conditioned (SURVEY.md §3.4);
+        # our decoder is. A zero cond projection reproduces the hub
+        # behavior exactly while keeping the capability trainable.
+        dec["cond"] = {
+            "kernel": np.zeros((m.gin_channels, m.upsample_initial_channel), np.float32),
+            "bias": np.zeros((m.upsample_initial_channel,), np.float32),
+        }
+    return dec
 
 
 def convert_discriminators(sd: SD, cfg: Config) -> Dict:

@@ -116,9 +116,19 @@ class SynthesizerSVC(nn.Module):
             dtype=dtype,
         )
 
+    @property
+    def resolved_hubert_cfg(self) -> HubertConfig:
+        """The HuBERT architecture setup() actually builds into enc_p.
+
+        Single source of truth for the explicit-override-or-derived rule —
+        external callers that run the frozen backbone out-of-graph (e.g.
+        train/step.py's share_frozen_hubert path) must use this so the
+        shared features cannot drift from the model's own encoder."""
+        return self.hubert_cfg or hubert_config_for(self.hubert_channels)
+
     def setup(self):
         self.enc_p = HubertContentEncoder(
-            hubert_cfg=self.hubert_cfg or hubert_config_for(self.hubert_channels),
+            hubert_cfg=self.resolved_hubert_cfg,
             out_channels=self.inter_channels,
             hidden_channels=self.hidden_channels,
             filter_channels=self.filter_channels,

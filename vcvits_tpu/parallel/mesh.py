@@ -116,3 +116,27 @@ def shard_replicated(tree, mesh: Mesh):
     """Fully replicate a pytree across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def tp_template(tree, mesh: Mesh):
+    """Abstract (ShapeDtypeStruct) copy of `tree` carrying the same
+    tensor-parallel shardings `shard_params_tp` would apply.
+
+    For Orbax abstract restore: a fresh process can build this via
+    `jax.eval_shape` over its init function — no init compile, and the
+    restored arrays land on exactly the shardings the compiled train step
+    expects (so the jit cache hits)."""
+    def mk(path, x):
+        return jax.ShapeDtypeStruct(
+            np.shape(x), x.dtype,
+            sharding=NamedSharding(mesh, _tp_spec(path, x)))
+    return jax.tree_util.tree_map_with_path(mk, tree)
+
+
+def replicated_template(tree, mesh: Mesh):
+    """Abstract copy of `tree` with fully-replicated shardings (see
+    `tp_template`)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=sharding),
+        tree)

@@ -33,7 +33,7 @@ from vcvits_tpu.dsp.spectrogram import spec_to_mel, stft_magnitude
 from vcvits_tpu.models.discriminators import MultiPeriodDiscriminator, MultiScaleDiscriminator
 from vcvits_tpu.models.content_encoder import HUBERT_PAD
 from vcvits_tpu.models.hubert import HubertModel
-from vcvits_tpu.models.synthesizer import SynthesizerSVC, hubert_config_for
+from vcvits_tpu.models.synthesizer import SynthesizerSVC
 from vcvits_tpu.train.audio_pipeline import smooth_source
 from vcvits_tpu.train.losses import (
     discriminator_loss,
@@ -164,8 +164,7 @@ def make_train_step(cfg: Config, dtype=jnp.float32, hubert_cfg=None,
                 # (train/state.py:60-84) and HubertModel is dropout-free, so
                 # the d_recompute forward would recompute bit-identical
                 # features from identical weights.
-                hub_cfg = gen.hubert_cfg or hubert_config_for(gen.hubert_channels)
-                hub = HubertModel(hub_cfg, dtype=dtype)
+                hub = HubertModel(gen.resolved_hubert_cfg, dtype=dtype)
                 wav16 = jnp.pad(x_wav.astype(dtype),
                                 ((0, 0), (HUBERT_PAD, HUBERT_PAD)))
                 hubert_features = jax.lax.stop_gradient(
