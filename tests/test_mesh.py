@@ -74,3 +74,42 @@ def test_shard_batch_places_on_data_axis():
         assert isinstance(v, jax.Array)
         spec = v.sharding.spec
         assert spec[0] == "data"
+
+
+def test_abstract_templates_match_concrete_shardings():
+    """tp_template / replicated_template (the dryrun's zero-compile
+    fresh-process restore path) must produce EXACTLY the shardings the
+    concrete shard_params_tp / shard_replicated placers apply — a drift
+    here recompiles the train step after every restore."""
+    from vcvits_tpu.parallel.mesh import (
+        replicated_template, shard_params_tp, shard_replicated, tp_template,
+    )
+
+    m = make_mesh(model=2)
+    params = {
+        "enc": {"q_proj": {"kernel": np.zeros((32, 64), np.float32),
+                           "bias": np.zeros((64,), np.float32)}},
+        "dec": {"big": {"kernel": np.zeros((3, 8, 512), np.float32)},
+                "small": {"kernel": np.zeros((3, 8, 64), np.float32)}},
+    }
+    concrete = shard_params_tp(params, m)
+    abstract = tp_template(params, m)
+    flat_c = jax.tree_util.tree_flatten_with_path(concrete)[0]
+    flat_a = jax.tree_util.tree_flatten_with_path(abstract)[0]
+    assert len(flat_c) == len(flat_a)
+    tp_seen = 0
+    for (pc, xc), (pa, xa) in zip(flat_c, flat_a):
+        assert pc == pa
+        assert isinstance(xa, jax.ShapeDtypeStruct)
+        assert xa.shape == xc.shape and xa.dtype == xc.dtype
+        assert xa.sharding == xc.sharding, jax.tree_util.keystr(pc)
+        if "model" in str(xc.sharding.spec):
+            tp_seen += 1
+    assert tp_seen >= 2  # q_proj kernel/bias + wide dec conv
+
+    opt = {"mu": np.zeros((4, 4), np.float32), "count": np.zeros((), np.int32)}
+    conc = shard_replicated(opt, m)
+    abst = replicated_template(opt, m)
+    for k in opt:
+        assert abst[k].sharding == conc[k].sharding
+        assert abst[k].shape == conc[k].shape and abst[k].dtype == conc[k].dtype
