@@ -262,13 +262,17 @@ def main() -> None:
     except Exception:
         pass
 
-    # ---- 5) dynamic W8A8 int8 decoder (VERDICT r3 #2): same checkpoint,
-    #         decoder convs quantize at call time (hifigan.py quant_int8).
-    #         Measure the sync-amortized single-utterance RTF and the
-    #         best-batch throughput deltas vs the bf16 decoder ------------
-    int8_detail = None
-    try:
-        model_q = model.clone(dec_quant_int8=True)
+    # ---- 5) int8 decoder variants (VERDICT r3 #2 / r4 #4): same
+    #         checkpoint, decoder convs quantize at call time (hifigan.py
+    #         quant_int8). True = dynamic W8A8; "w8" = weight-only int8
+    #         with bf16 activations (no dynamic act quant on the critical
+    #         path). Measure the sync-amortized single-utterance RTF and
+    #         the best-batch throughput deltas vs the bf16 decoder -------
+    int8_details = {}
+    for qmode, qname in ((True, "w8a8"), ("w8", "w8")):
+      int8_detail = None
+      try:
+        model_q = model.clone(dec_quant_int8=qmode)
         infer_q = jax.jit(lambda p, w, l, pi, s, k: (
             lambda r: (r[0], jnp.mean(jnp.abs(r[0].astype(jnp.float32)))))(
             model_q.apply(p, w, l, pi, s, rng=k, method=SynthesizerSVC.infer)))
@@ -304,8 +308,9 @@ def main() -> None:
             int8_detail["batched_utt_per_s"] = round(b / float(np.median(ts)), 2)
             int8_detail["speedup_vs_bf16_batched"] = round(
                 int8_detail["batched_utt_per_s"] / batched[b]["utt_per_s"], 3)
-    except Exception:
+      except Exception:
         pass
+      int8_details[qname] = int8_detail
 
     out = {
         "metric": "rtf_48k_any_to_any_conversion",
@@ -326,9 +331,10 @@ def main() -> None:
             # BASELINE config 1 (configs/base.json, hubert_xtralarge):
             # 10 s single-utterance conversion RTF, bf16
             "rtf_22k": rtf_22k,
-            # dynamic W8A8 int8 decoder (flag-gated, default off): the
-            # measured serving-path deltas vs the bf16 decoder
-            "int8_decoder_dynamic_w8a8": int8_detail,
+            # int8 decoder variants (flag-gated, default off): the measured
+            # serving-path deltas vs the bf16 decoder
+            "int8_decoder_dynamic_w8a8": int8_details.get("w8a8"),
+            "int8_decoder_weight_only_w8": int8_details.get("w8"),
             "decoder_fold_tail": True,
         },
     }

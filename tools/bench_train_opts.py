@@ -99,6 +99,10 @@ def main() -> None:
         ("time_fold", {"disc_time_fold": True}),  # on top of default im2col
         ("time_fold_only", {"disc_time_fold": True, "disc_im2col": False}),
         ("grouped_pack", {"disc_grouped_pack": True, "disc_im2col": False}),
+        # compose: time_fold where pick_time_chunks engages, phase-packed
+        # grouped conv as the fallback for what it leaves (layers.py order)
+        ("time_fold_pack", {"disc_time_fold": True,
+                            "disc_grouped_pack": True}),
         ("share_hubert_off", {"share_frozen_hubert": False}),
     ]
     if args.variants:

@@ -38,9 +38,13 @@ def main() -> None:
     parser.add_argument("--workdir", default="logs")
     parser.add_argument("-c", "--config", default=None)
     parser.add_argument("--int8-decoder", action="store_true",
-                        help="dynamic W8A8 int8 decoder convs (~2x MXU rate "
-                             "on the vocoder; same checkpoint, small "
-                             "quantization noise — see docs/quantization)")
+                        help="int8 decoder convs (same checkpoint, small "
+                             "quantization noise — see docs/quantization; "
+                             "measured SLOWER than bf16 end-to-end on v5e)")
+    parser.add_argument("--int8-decoder-mode", choices=("w8a8", "w8"),
+                        default="w8a8",
+                        help="w8a8 = dynamic int8 acts + weights on the "
+                             "int8 MXU; w8 = weight-only int8, bf16 acts")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -49,8 +53,10 @@ def main() -> None:
     from vcvits_tpu.infer import VoiceConverter
 
     cfg = load_config(args.config) if args.config else None
+    quant = (args.int8_decoder
+             and (True if args.int8_decoder_mode == "w8a8" else "w8"))
     vc = VoiceConverter.from_checkpoint(args.workdir, cfg=cfg,
-                                        quant_int8=args.int8_decoder)
+                                        quant_int8=quant)
 
     if len(args.source) > 1:
         # colliding basenames would silently overwrite one another

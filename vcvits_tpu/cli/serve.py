@@ -42,9 +42,13 @@ def main() -> None:
                         help="micro-batch latency window")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--int8-decoder", action="store_true",
-                        help="dynamic W8A8 int8 decoder convs (~2x MXU rate "
-                             "on the vocoder; same checkpoint, small "
-                             "quantization noise — see docs/quantization)")
+                        help="int8 decoder convs (same checkpoint, small "
+                             "quantization noise — see docs/quantization; "
+                             "measured SLOWER than bf16 end-to-end on v5e)")
+    parser.add_argument("--int8-decoder-mode", choices=("w8a8", "w8"),
+                        default="w8a8",
+                        help="w8a8 = dynamic int8 acts + weights on the "
+                             "int8 MXU; w8 = weight-only int8, bf16 acts")
     parser.add_argument("--transfer", default="f32",
                         choices=("f32", "f16", "i16", "mulaw"),
                         help="device<->host wire format; i16 quarters the "
@@ -74,7 +78,9 @@ def main() -> None:
     vc = VoiceConverter.from_checkpoint(
         args.workdir, cfg=cfg,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        quant_int8=args.int8_decoder)
+        quant_int8=(args.int8_decoder
+                    and (True if args.int8_decoder_mode == "w8a8"
+                         else "w8")))
     mesh = None
     if args.data_parallel:
         import jax

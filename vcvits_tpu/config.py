@@ -109,9 +109,11 @@ class TrainConfig:
     # Time-fold (space-to-batch) the MSD grouped convs: split time into
     # overlapping chunks folded into batch so the TPU emitters' batch-in-
     # lanes layout fills all 128 lanes (ops/grouped_conv.py:
-    # time_batch_conv1d). Exact; measured A/B at B=16 in
-    # tools/bench_train_opts.py.
-    disc_time_fold: bool = False
+    # time_batch_conv1d). Exact (plain autodiff through the native conv).
+    # Default ON: full-step A/B wins at every batch — 104.6 vs 121.0
+    # ms/step at B=8 (+15.7%), 151.3 vs 164.8 at B=16 (+8.9%), 246.9 vs
+    # 252.3 at B=32 (+2.2%) — reports/train_opts_r5.json.
+    disc_time_fold: bool = True
     # Device-resident dataset cache (data/device_cache.py): upload the
     # corpus to HBM once and assemble batches with a jitted gather, so the
     # per-step host->device traffic is an index vector instead of audio.

@@ -42,9 +42,10 @@ class VoiceConverter:
         if hubert_cfg is not None:
             gen = gen.clone(hubert_cfg=hubert_cfg)
         if quant_int8:
-            # dynamic W8A8 int8 decoder convs — same checkpoint, weights
-            # quantize at call time (hifigan.py quant_int8)
-            gen = gen.clone(dec_quant_int8=True)
+            # int8 decoder convs — same checkpoint, weights quantize at
+            # call time (hifigan.py quant_int8). True = dynamic W8A8;
+            # "w8" = weight-only (bf16 activations).
+            gen = gen.clone(dec_quant_int8=quant_int8)
         self.gen = gen
         self.unit = alignment_unit(cfg.data)
         self._infer = jax.jit(

@@ -151,7 +151,9 @@ class Conv1d(nn.Module):
     # per-row activation scales, int32 accumulation. Inference only
     # (no gradient through round()); same params/checkpoint, quantization
     # happens at call time on the materialized weight-normed kernel.
-    # Ignored on the im2col path (not a decoder shape).
+    # Ignored on the im2col path (not a decoder shape). The string value
+    # "w8" selects weight-only int8: weights on the int8 grid, bf16
+    # activations, bf16 MXU conv (ops/int8_conv.py act_quant=False).
     quant_int8: bool = False
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
@@ -206,7 +208,8 @@ class Conv1d(nn.Module):
                 if self.quant_int8:
                     from vcvits_tpu.ops.int8_conv import int8_conv1d
                     y = int8_conv1d(xr, wg, gpad, bias=b, groups=d,
-                                    fold_out=f_ps, out_dtype=self.dtype)
+                                    fold_out=f_ps, out_dtype=self.dtype,
+                                    act_quant=self.quant_int8 != "w8")
                 else:
                     y = jax.lax.conv_general_dilated(
                         xr, wg, window_strides=(1,), padding=[gpad],
@@ -252,7 +255,8 @@ class Conv1d(nn.Module):
                             jnp.float32) if self.use_bias else None)
             return int8_conv1d(x.astype(self.dtype), kernel, pad[0], bias=b,
                                dilation=self.dilation, stride=self.stride,
-                               groups=self.groups, out_dtype=self.dtype)
+                               groups=self.groups, out_dtype=self.dtype,
+                               act_quant=self.quant_int8 != "w8")
 
         if self.time_fold and self.groups > 1 and self.dilation == 1:
             from vcvits_tpu.ops.grouped_conv import (
@@ -362,7 +366,8 @@ class ConvTranspose1d(nn.Module):
                             jnp.float32) if self.use_bias else None)
             return int8_conv1d(x.astype(self.dtype), kernel_hio,
                                (k - 1 - p, k - 1 - p), bias=b,
-                               lhs_dilation=s, out_dtype=self.dtype)
+                               lhs_dilation=s, out_dtype=self.dtype,
+                               act_quant=self.quant_int8 != "w8")
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel_hio,

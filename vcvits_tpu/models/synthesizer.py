@@ -82,9 +82,10 @@ class SynthesizerSVC(nn.Module):
     # grouped convs remove the dense folded kernel's dilated-tap
     # densification — exact, same checkpoint (tests/test_folded_conv.py).
     dec_phase_split: bool = False
-    # Dynamic W8A8 int8 decoder convs (hifigan.py quant_int8): ~2x MXU
-    # rate on the decoder's conv shapes, inference only (no VJP). Same
-    # checkpoint; parity gate tests/test_int8_decoder.py.
+    # int8 decoder convs (hifigan.py quant_int8), inference only (no VJP),
+    # same checkpoint; parity gate tests/test_int8_decoder.py. True =
+    # dynamic W8A8 (int8 MXU, measured 0.90-0.96x end-to-end — BENCH r4);
+    # "w8" = weight-only int8, bf16 activations.
     dec_quant_int8: bool = False
     dtype: Dtype = jnp.float32
 

@@ -239,12 +239,14 @@ def folded_conv_apply(
     """Run the folded conv: [B, T', F_in*Ci] x [K, F_in*Ci, F_out*Co].
 
     quant_int8 routes through the dynamic W8A8 path (ops/int8_conv.py) —
-    int8 x int8 -> int32 on the MXU, dequant fused into the bias add.
+    int8 x int8 -> int32 on the MXU, dequant fused into the bias add; the
+    value "w8" selects the weight-only variant (bf16 activations).
     Inference only (round() has no gradient)."""
     if quant_int8:
         from vcvits_tpu.ops.int8_conv import int8_conv1d
         return int8_conv1d(x_folded, folded_kernel, pad, bias=bias,
-                           fold_out=fold_out, out_dtype=x_folded.dtype)
+                           fold_out=fold_out, out_dtype=x_folded.dtype,
+                           act_quant=quant_int8 != "w8")
     y = jax.lax.conv_general_dilated(
         x_folded, folded_kernel,
         window_strides=(1,), padding=[pad],

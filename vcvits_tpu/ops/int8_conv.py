@@ -23,6 +23,15 @@ Used by HiFiGANGenerator(quant_int8=True) — the decoder is the hot path the
 reference outsources to torch.hub (synthesizer_svc.py:59) and carries
 ~70-80% of inference FLOPs (reports/flops_budget.json). Default OFF;
 parity gate in tests/test_int8_decoder.py, measured deltas in BENCH.
+
+`act_quant=False` is the weight-only variant (flag value "w8" at the
+module level): weights round-trip through the same per-channel int8 grid
+(numerics of a pre-quantized int8 store) but activations stay bf16 and the
+conv runs on the bf16 MXU path — no dynamic activation quantization on the
+critical path, the one cheap experiment the r4 verdict left open. Measured
+end-to-end in BENCH (int8 deltas): the W8A8 path LOSES 4-10% vs bf16
+despite the per-conv probe win; w8 isolates whether the act-quant overhead
+or the int8 conv itself is the regression.
 """
 
 from __future__ import annotations
@@ -63,26 +72,39 @@ def int8_conv1d(
     fold_out: int = 1,
     lhs_dilation: int = 1,
     out_dtype=None,
+    act_quant: bool = True,
 ) -> jax.Array:
     """Quantized drop-in for the decoder's conv_general_dilated calls.
 
     x: [B, T, Ci] float; kernel: [k, Ci/groups, Co] float (already
     weight-norm-materialized / folded). Returns float [B, T', Co] identical
     in shape to the bf16 path. `fold_out` tiles the bias like
-    folded_conv_apply does for time-folded outputs.
+    folded_conv_apply does for time-folded outputs. `act_quant=False` is
+    weight-only int8 (see module docstring).
     """
     out_dtype = out_dtype or x.dtype
     wq, w_scale = quantize_weight_per_channel(kernel)
-    xq, a_scale = quantize_act_per_row(x)
-    y = jax.lax.conv_general_dilated(
-        xq, wq,
-        window_strides=(stride,), padding=[tuple(pad)],
-        rhs_dilation=(dilation,), lhs_dilation=(lhs_dilation,),
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.int32,
-    )
-    yf = y.astype(jnp.float32) * (a_scale * w_scale)
+    if act_quant:
+        xq, a_scale = quantize_act_per_row(x)
+        y = jax.lax.conv_general_dilated(
+            xq, wq,
+            window_strides=(stride,), padding=[tuple(pad)],
+            rhs_dilation=(dilation,), lhs_dilation=(lhs_dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32,
+        )
+        yf = y.astype(jnp.float32) * (a_scale * w_scale)
+    else:
+        wf = (wq.astype(jnp.float32) * w_scale).astype(x.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, wf,
+            window_strides=(stride,), padding=[tuple(pad)],
+            rhs_dilation=(dilation,), lhs_dilation=(lhs_dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=groups,
+        )
+        yf = y.astype(jnp.float32)
     if bias is not None:
         b = bias.astype(jnp.float32)
         if fold_out > 1:
