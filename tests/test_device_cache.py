@@ -104,7 +104,7 @@ def test_trainer_uses_device_cache_and_trains(tmp_path):
     from vcvits_tpu.utils.audio_io import write_wav
 
     cfg = Config.from_dict({
-        "train": {"segment_size": 2048, "batch_size": 2, "log_interval": 1,
+        "train": {"segment_size": 2048, "batch_size": 2, "log_interval": 1, "disc_time_fold": False,
                   "eval_interval": 10 ** 9, "checkpoint_interval": 10 ** 9,
                   "max_epochs": 1, "device_data_cache": "on"},
         "data": {"filter_length": 1024, "win_length": 1024, "hop_length": 512,

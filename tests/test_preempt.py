@@ -65,7 +65,7 @@ def _make_corpus(tmp):
 
 def _tiny_cfg(tmp, fl) -> Config:
     return Config.from_dict({
-        "train": {"segment_size": 2048, "batch_size": 2, "steps_per_epoch": 10,
+        "train": {"segment_size": 2048, "batch_size": 2, "steps_per_epoch": 10, "disc_time_fold": False,
                   "log_interval": 1, "eval_interval": 100000,
                   "checkpoint_interval": 100000, "fp16_run": False},
         "data": {"filter_length": 1024, "win_length": 1024, "hop_length": 512,

@@ -25,7 +25,7 @@ from tests.test_train_step import TINY_HUBERT
 def cfg(tmp_path_factory):
     cache = str(tmp_path_factory.mktemp("cache"))
     return Config.from_dict({
-        "train": {"segment_size": 2048, "batch_size": 2, "steps_per_epoch": 10},
+        "train": {"segment_size": 2048, "batch_size": 2, "steps_per_epoch": 10, "disc_time_fold": False},
         "data": {"filter_length": 1024, "win_length": 1024, "hop_length": 512,
                  "n_mel_channels": 8, "n_speakers": 8, "cache_dir": cache,
                  "length_buckets": [0.5]},

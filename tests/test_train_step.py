@@ -20,7 +20,7 @@ TINY_HUBERT = HubertConfig(
 @pytest.fixture(scope="module")
 def cfg():
     return Config.from_dict({
-        "train": {"segment_size": 2048, "batch_size": 2, "steps_per_epoch": 10},
+        "train": {"segment_size": 2048, "batch_size": 2, "steps_per_epoch": 10, "disc_time_fold": False},
         "data": {"filter_length": 1024, "win_length": 1024, "hop_length": 512,
                  "n_mel_channels": 8, "n_speakers": 8},
         "model": {

@@ -46,7 +46,7 @@ def corpus(tmp_path_factory):
 def cfg(corpus):
     tmp, fl = corpus
     return Config.from_dict({
-        "train": {"segment_size": 2048, "batch_size": 2, "steps_per_epoch": 10,
+        "train": {"segment_size": 2048, "batch_size": 2, "steps_per_epoch": 10, "disc_time_fold": False,
                   "log_interval": 2, "eval_interval": 1000,
                   "checkpoint_interval": 1000, "fp16_run": False},
         "data": {"filter_length": 1024, "win_length": 1024, "hop_length": 512,

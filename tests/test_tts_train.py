@@ -15,7 +15,7 @@ N_VOCAB = 40
 @pytest.fixture(scope="module")
 def cfg():
     return Config.from_dict({
-        "train": {"segment_size": 2048, "batch_size": 2, "steps_per_epoch": 10},
+        "train": {"segment_size": 2048, "batch_size": 2, "steps_per_epoch": 10, "disc_time_fold": False},
         "data": {"filter_length": 1024, "win_length": 1024, "hop_length": 512,
                  "n_mel_channels": 8, "n_speakers": 4},
         "model": {

@@ -53,7 +53,7 @@ def test_tts_trainer_fit_and_synthesize(corpus, tmp_path):
 
     tmp, fl = corpus
     cfg = Config.from_dict({
-        "train": {"segment_size": 2048, "batch_size": 2, "log_interval": 1,
+        "train": {"segment_size": 2048, "batch_size": 2, "log_interval": 1, "disc_time_fold": False,
                   "checkpoint_interval": 100, "fp16_run": False},
         "data": {"filter_length": 1024, "win_length": 1024, "hop_length": 512,
                  "n_mel_channels": 8, "n_speakers": 4,
