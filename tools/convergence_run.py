@@ -242,6 +242,11 @@ def main() -> None:
     ap.add_argument("--root", default="/tmp/conv_r4")
     ap.add_argument("--out", default="reports/convergence_r4.json")
     ap.add_argument("--tb-out", default="reports/convergence_r4_tb")
+    ap.add_argument("--phase3-only", action="store_true",
+                    help="skip the training phases and run only the "
+                         "grown-speaker tolerant-restore check against the "
+                         "checkpoints already in <root>/logs; writes "
+                         "<out> with just the grown_speakers record")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -261,12 +266,17 @@ def main() -> None:
     # latest checkpoint (the crash-and-resume contract, §5.3) and runs to
     # the full step count.
     half = args.steps // 2
-    log1, vlog1 = run_phase(cfg, fl, workdir, half)
-    print(f"phase 1 done at ~{half} steps ({len(log1)} log points)", flush=True)
-    log2, vlog2 = run_phase(cfg, fl, workdir, args.steps)
-    resume_start = log2[0]["step"] if log2 else None
-    print(f"phase 2 resumed (first logged step {resume_start}) "
-          f"-> {args.steps}", flush=True)
+    if not args.phase3_only:
+        log1, vlog1 = run_phase(cfg, fl, workdir, half)
+        print(f"phase 1 done at ~{half} steps ({len(log1)} log points)",
+              flush=True)
+        log2, vlog2 = run_phase(cfg, fl, workdir, args.steps)
+        resume_start = log2[0]["step"] if log2 else None
+        print(f"phase 2 resumed (first logged step {resume_start}) "
+              f"-> {args.steps}", flush=True)
+    else:
+        log1 = log2 = vlog1 = vlog2 = []
+        resume_start = None
 
     traj = log1 + log2
     val_traj = vlog1 + vlog2
@@ -274,15 +284,21 @@ def main() -> None:
     d_tot = [p["d_total"] for p in traj]
 
     # Phase 3: shape-tolerant restore on a grown speaker table, then a few
-    # hundred steps to show training continues finite.
+    # hundred steps to show training continues finite. The grown size must
+    # EXCEED the run's own n_speakers or no shape mismatch exists — the
+    # normal restore path then keeps the 20k step counter and fit() exits
+    # with zero steps (the r5 run's --speakers 32 hit exactly this against
+    # the old hard-coded 32).
     import jax.numpy as jnp
 
     from vcvits_tpu.train.trainer import Trainer
 
+    n_grown = args.speakers + 16
     cfg_grown = build_cfg(fl, args.root, args.speakers, args.batch,
                           ckpt_interval=10 ** 9)
     cfg_grown = dataclasses.replace(
-        cfg_grown, data=dataclasses.replace(cfg_grown.data, n_speakers=32))
+        cfg_grown, data=dataclasses.replace(cfg_grown.data,
+                                            n_speakers=n_grown))
     grow_dir = os.path.join(args.root, "logs_grown")
     shutil.rmtree(grow_dir, ignore_errors=True)
     os.makedirs(grow_dir, exist_ok=True)
@@ -294,8 +310,8 @@ def main() -> None:
     # fresh steps on the restored weights with the grown speaker table
     log3, _ = run_phase(cfg_grown, fl, grow_dir, 300)
     grown_ok = bool(log3) and all(np.isfinite(p["g_total"]) for p in log3)
-    print(f"grown-speaker tolerant restore: {len(log3)} points, "
-          f"finite={grown_ok}", flush=True)
+    print(f"grown-speaker tolerant restore ({args.speakers} -> {n_grown}): "
+          f"{len(log3)} points, finite={grown_ok}", flush=True)
 
     # plateau statistics: last-10% mel vs the 25-35% window
     k = max(len(mels) // 10, 1)
@@ -311,7 +327,7 @@ def main() -> None:
         "trajectory": traj,
         "val_trajectory": val_traj,
         "resume": {"phase1_end": half, "phase2_first_logged": resume_start},
-        "grown_speakers": {"n_speakers": 32, "steps": 300,
+        "grown_speakers": {"n_speakers": n_grown, "steps": 300,
                            "finite": grown_ok,
                            "points": log3[:5]},
         "mel_early_mean": float(np.mean(early)) if early else None,
@@ -348,8 +364,11 @@ def main() -> None:
     # files next to the report
     shutil.rmtree(args.tb_out, ignore_errors=True)
     shutil.copytree(os.path.join(workdir, "tb"), args.tb_out)
-    print(f"wrote {args.out} (+ TB events in {args.tb_out}); "
-          f"mel {report['mel_early_mean']:.2f} -> {report['mel_late_mean']:.2f}",
+    mel_span = ("no training phases (--phase3-only)"
+                if report["mel_early_mean"] is None else
+                f"mel {report['mel_early_mean']:.2f} -> "
+                f"{report['mel_late_mean']:.2f}")
+    print(f"wrote {args.out} (+ TB events in {args.tb_out}); {mel_span}",
           flush=True)
 
 
